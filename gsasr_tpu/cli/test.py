@@ -1,0 +1,115 @@
+"""Benchmark evaluation CLI — equivalent of `TrainTestGSASR/basicsr/test.py`
++ `GSASRModel.nondist_validation` (`gsasr_model.py:433-504`).
+
+Usage:
+  python -m gsasr_tpu.cli.test --gt <GT folder> --lq <LR folder> --scale 4 \
+      --enc_ckpt net_g.pth --dec_ckpt net_fea2gs.pth \
+      [--tile_size 480 --tile_overlap 8 --crop_size 4] [--save_sr out/]
+
+Protocol: PSNR/SSIM on the Y channel, crop_border = scale if <= 8 else 8
+(`README.md:349-355`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--gt", required=True)
+    p.add_argument("--lq", required=True)
+    p.add_argument("--scale", type=float, default=4.0)
+    p.add_argument("--model", default="EDSR", choices=["EDSR"])
+    p.add_argument("--enc_ckpt", default=None)
+    p.add_argument("--dec_ckpt", default=None)
+    p.add_argument("--dmax", type=float, default=0.1)
+    p.add_argument("--tile_size", type=int, default=0,
+                   help="0 disables tiling")
+    p.add_argument("--tile_overlap", type=int, default=8)
+    p.add_argument("--crop_size", type=int, default=4)
+    p.add_argument("--save_sr", default=None)
+    p.add_argument("--limit", type=int, default=0)
+    args = p.parse_args()
+
+    import cv2
+    from gsasr_tpu.utils.env import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gsasr_tpu.data.datasets import PairedImageDataset
+    from gsasr_tpu.metrics import (calculate_psnr, calculate_ssim,
+                                   crop_border_for_scale)
+    from gsasr_tpu.model import DENOMINATORS, make_models, sr_forward
+    from gsasr_tpu.tiling import split_and_joint_image
+    from gsasr_tpu.utils.checkpoint import load_torch_checkpoint
+
+    enc, dec = make_models(args.model.lower())
+    denom = DENOMINATORS[args.model.lower()]
+    rng = jax.random.PRNGKey(0)
+    if args.enc_ckpt:
+        enc_params = load_torch_checkpoint(args.enc_ckpt, "edsr")
+        dec_params = load_torch_checkpoint(args.dec_ckpt, "fea2gs")
+    else:
+        print("WARNING: random init (smoke mode)")
+        enc_params = enc.init(rng, jnp.zeros((1, 12, 12, 3)))["params"]
+        dec_params = dec.init(rng, jnp.zeros((1, 12, 12, 64)),
+                              jnp.ones((1,)))["params"]
+
+    ds = PairedImageDataset(args.gt, args.lq, args.scale)
+    n = len(ds) if not args.limit else min(args.limit, len(ds))
+    crop = crop_border_for_scale(args.scale)
+
+    psnrs, ssims, times = [], [], []
+    for i in range(n):
+        item = ds[i]
+        lq = jnp.asarray(item["lq"])[None]
+        gt = item["gt"]
+        h, w = lq.shape[1:3]
+        want = (gt.shape[0], gt.shape[1])
+
+        t0 = time.perf_counter()
+        if args.tile_size and min(h, w) > args.tile_size:
+            canvas = split_and_joint_image(
+                lq, args.scale, args.tile_size, args.tile_overlap,
+                enc, dec, enc_params, dec_params,
+                crop_size=args.crop_size, if_dmax=True, dmax=args.dmax)
+            sr = canvas[0, :want[0], :want[1]]
+        else:
+            out = sr_forward(enc, dec, enc_params, dec_params, lq,
+                             args.scale, sr_size=want, denominator=denom,
+                             dmax=args.dmax)
+            sr = np.asarray(out[0])
+        times.append(time.perf_counter() - t0)
+
+        sr255 = np.clip(sr, 0, 1) * 255.0
+        gt255 = gt * 255.0
+        psnrs.append(calculate_psnr(sr255, gt255, crop, test_y_channel=True,
+                                    channel_order="rgb"))
+        ssims.append(calculate_ssim(sr255, gt255, crop, test_y_channel=True,
+                                    channel_order="rgb"))
+        print(f"[{i+1}/{n}] {os.path.basename(item['gt_path'])} "
+              f"psnr {psnrs[-1]:.3f} ssim {ssims[-1]:.4f} "
+              f"{times[-1]*1e3:.0f} ms", flush=True)
+
+        if args.save_sr:
+            os.makedirs(args.save_sr, exist_ok=True)
+            name = os.path.basename(item["gt_path"])
+            cv2.imwrite(os.path.join(args.save_sr, name),
+                        (np.clip(sr, 0, 1)[:, :, ::-1] * 255).round()
+                        .astype(np.uint8))
+
+    # protocol: discard the first 2 timings (inference_paper_benchmark:169)
+    avg_t = float(np.mean(times[2:])) if len(times) > 2 else float(
+        np.mean(times))
+    print(f"AVG psnr {np.mean(psnrs):.4f} ssim {np.mean(ssims):.5f} "
+          f"time {avg_t*1e3:.1f} ms over {n} images")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Training CLI — equivalent of `TrainTestGSASR/basicsr/train.py`.
+
+Usage:
+  python -m gsasr_tpu.cli.train -opt configs/train_edsr_paper.yml \
+      [--auto_resume] [--force_yml train:total_iter=1000]
+
+Single-controller JAX: one process drives all local devices (data-parallel
+mesh); multi-host runs call jax.distributed.initialize() first.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-opt", required=True)
+    p.add_argument("--auto_resume", action="store_true")
+    p.add_argument("--force_yml", nargs="*", default=None)
+    p.add_argument("--multihost", action="store_true")
+    args = p.parse_args()
+
+    if args.multihost:
+        import jax
+        jax.distributed.initialize()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gsasr_tpu.config import (apply_overrides, build_networks,
+                                  build_train_config, load_options)
+    from gsasr_tpu.data.datasets import ContinuousBicubicDataset, batch_iterator
+    from gsasr_tpu.train import Trainer
+    from gsasr_tpu.utils.checkpoint import (latest_step, restore_checkpoint,
+                                            save_checkpoint)
+
+    opt = apply_overrides(load_options(args.opt), args.force_yml)
+    enc, dec = build_networks(opt)
+    cfg = build_train_config(opt)
+    trainer = Trainer(enc, dec, cfg)
+
+    ds_opt = next(v for k, v in opt["datasets"].items()
+                  if k.startswith("train"))
+    dataset = ContinuousBicubicDataset(
+        ds_opt["all_gt_list"], scale_list=ds_opt.get("scale_list", (1, 4)),
+        lr_size=ds_opt.get("lr_size", 48),
+        use_hflip=ds_opt.get("use_hflip", True),
+        use_rot=ds_opt.get("use_rot", True),
+        round_mode=ds_opt.get("round_mode", "ceil"),
+        seed=opt.get("manual_seed", 0))
+    batch_size = ds_opt.get("batch_size_per_gpu", 16) * jax.device_count()
+    lr_size = ds_opt.get("lr_size", 48)
+
+    state = trainer.init(
+        jax.random.PRNGKey(opt.get("manual_seed", 0)),
+        (batch_size, lr_size, lr_size, 3))
+
+    exp_dir = opt.get("path", {}).get(
+        "experiments_root", f"experiments/{opt.get('name', 'run')}")
+    ckpt_dir = f"{exp_dir}/checkpoints"
+    start_iter = 0
+    if args.auto_resume:
+        step = latest_step(ckpt_dir)
+        if step is not None:
+            state = restore_checkpoint(ckpt_dir, step, state)
+            start_iter = int(step)
+            print(f"resumed from iter {start_iter}")
+
+    total = cfg.total_iter
+    save_freq = opt.get("logger", {}).get("save_checkpoint_freq", 5000)
+    print_freq = opt.get("logger", {}).get("print_freq", 100)
+
+    it = start_iter
+    epoch = 0
+    num_hosts = jax.process_count()
+    host = jax.process_index()
+    t_last = time.time()
+    while it < total:
+        for batch in batch_iterator(
+                dataset, batch_size, epoch=epoch,
+                seed=opt.get("manual_seed", 0),
+                num_shards=num_hosts, shard=host,
+                enlarge_ratio=ds_opt.get("dataset_enlarge_ratio", 1)):
+            state, metrics = trainer.step(
+                state, {k: jnp.asarray(v) for k, v in batch.items()})
+            it += 1
+            if it % print_freq == 0:
+                loss = float(metrics["loss"])
+                dt = (time.time() - t_last) / print_freq
+                t_last = time.time()
+                print(f"iter {it}/{total} loss {loss:.4f} "
+                      f"lr {float(metrics['lr']):.2e} {dt * 1e3:.0f} ms/it",
+                      flush=True)
+            if it % save_freq == 0 and host == 0:
+                save_checkpoint(ckpt_dir, it, state)
+            if it >= total:
+                break
+        epoch += 1
+
+    if host == 0:
+        save_checkpoint(ckpt_dir, it, state)
+    print("training done")
+
+
+if __name__ == "__main__":
+    main()

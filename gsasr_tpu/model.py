@@ -1,0 +1,118 @@
+"""End-to-end GSASR model assembly: encoder -> Fea2GS -> rasterizer.
+
+Mirrors the single-image inference path (`/root/reference/inference_paper.py:
+79-141`): reflect-pad the LR image to a denominator multiple, run encoder and
+decoder, render at floor(scale * HW), crop.
+
+jit notes: output size depends on (lr_shape, scale) — both static per call
+site. For training, the data pipeline pads GT to gt_size_max so one
+compilation serves the whole run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gsasr_tpu.models import EDSRNOUP, Fea2GS, RDNNOUP, SwinIRNOUP
+from gsasr_tpu.rendering import render_gaussians
+
+# Denominator = window_size * lcm considerations per encoder
+# (`inference_paper.py:112-118`): 12 for EDSR/RDN, 24 for SwinIR.
+DENOMINATORS = {"edsr": 12, "rdn": 12, "swinir": 24, "hat": 16}
+
+
+def pad_to_denominator(img, denom: int):
+    """Reflect-pad (B, H, W, C) so H and W are multiples of denom
+    (`gsasr_model.py:363-375`). Returns (padded, (h, w))."""
+    b, h, w, c = img.shape
+    ph = (denom - h % denom) % denom
+    pw = (denom - w % denom) % denom
+    if ph or pw:
+        img = jnp.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                      mode="reflect")
+    return img, (h, w)
+
+
+def make_models(encoder: str = "edsr", *, dtype=jnp.float32,
+                decoder_kwargs: Optional[dict] = None):
+    """Build (encoder_module, decoder_module) for a named config."""
+    decoder_kwargs = dict(decoder_kwargs or {})
+    if encoder == "edsr":
+        enc = EDSRNOUP(dtype=dtype)
+    elif encoder == "rdn":
+        enc = RDNNOUP(dtype=dtype)
+    elif encoder == "swinir":
+        enc = SwinIRNOUP(dtype=dtype)
+    else:
+        raise NotImplementedError(
+            f"encoder '{encoder}' not yet implemented in this build")
+    dec = Fea2GS(dtype=dtype, **decoder_kwargs)
+    return enc, dec
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_apply(module):
+    """Per-module cached jit of `module.apply` (modules are frozen
+    dataclasses, hence hashable). Stage-wise jits keep each compiled
+    program small — one monolithic jit of the whole pipeline compiles
+    pathologically slowly through the axon remote-compile path."""
+    return jax.jit(lambda params, *xs: module.apply({"params": params}, *xs))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_render(scale: float, dmax_mode: str, dmax: float,
+                   use_pallas: bool):
+    # NOTE: batching via lax/vmap over the pallas rasterizer is deliberately
+    # avoided (vmap of pallas_call compiles pathologically through the
+    # remote-compile path); the batch dim is scanned as a python loop —
+    # inference batches are tiny and each iteration reuses one compiled
+    # program.
+    @functools.partial(jax.jit, static_argnames=("hw",))
+    def render_one(g, hw):
+        return render_gaussians(hw, g, jnp.float32(scale),
+                                dmax_mode=dmax_mode, dmax=dmax,
+                                use_pallas=use_pallas)
+
+    def render_all(gs, hw):
+        return jnp.stack([render_one(gs[i], hw)
+                          for i in range(gs.shape[0])])
+
+    return render_all
+
+
+def sr_forward(enc, dec, enc_params, dec_params, lq, scale: float,
+               *, sr_size: Optional[Tuple[int, int]] = None,
+               denominator: int = 12, dmax_mode: str = "fix",
+               dmax: float = 0.1, use_pallas: bool = True):
+    """Full-image SR forward for one batch at one scale.
+
+    Args:
+      lq: (B, H, W, 3) in [0, 1].
+      scale: python float scale factor.
+      sr_size: target (H_sr, W_sr); default floor(scale * HW)
+        (`inference_paper.py:91`).
+
+    Returns (B, H_sr, W_sr, 3).
+    """
+    b, h, w, _ = lq.shape
+    if sr_size is None:
+        sr_size = (math.floor(h * scale), math.floor(w * scale))
+    padded, _ = pad_to_denominator(lq, denominator)
+    ph, pw = padded.shape[1], padded.shape[2]
+    # Render on the padded canvas at floor(scale * padded), then crop to the
+    # unpadded target (`inference_paper.py:113-114, 135`).
+    pad_sr = (math.floor(ph * scale), math.floor(pw * scale))
+
+    feat = _jitted_apply(enc)(enc_params, padded)
+    scales = jnp.full((b,), scale, jnp.float32)
+    gs = _jitted_apply(dec)(dec_params, feat, scales)
+    img = _jitted_render(float(scale), dmax_mode, float(dmax),
+                         use_pallas)(gs, pad_sr)  # (B, 3, H, W)
+    img = img.transpose(0, 2, 3, 1)
+    return img[:, :sr_size[0], :sr_size[1], :]

@@ -1,0 +1,6 @@
+from gsasr_tpu.models.edsr import EDSRNOUP
+from gsasr_tpu.models.fea2gs import Fea2GS
+from gsasr_tpu.models.rdn import RDNNOUP
+from gsasr_tpu.models.swinir import SwinIRNOUP
+
+__all__ = ["EDSRNOUP", "Fea2GS", "RDNNOUP", "SwinIRNOUP"]

@@ -1,0 +1,212 @@
+"""Rendering orchestration: raw decoder outputs -> rendered SR image.
+
+Mirrors `/root/reference/utils/gaussian_splatting.py`:
+
+- activations (`generate_2D_gaussian_splatting_step`, :174-180):
+    sigma = 0.99999 * sigmoid(p) + 1e-6
+    rho   = 0.999999 * tanh(p)
+    alpha = sigmoid(p); rgb = sigmoid(p); colors = rgb * alpha
+    coords = 2 * p - 1
+- step size (:166-171): step_size = default_step_size / scale  (1.2 default)
+- kernel-unit conversion (`rendering_cuda_dmax`, :121-123):
+    kernel sigma_x (pairs with the w axis) = sigma_y / step * 2 / (W - 1)
+    kernel sigma_y (pairs with the h axis) = sigma_x / step * 2 / (H - 1)
+    (note the deliberate x/y swap, matching the CUDA kernel's dx<->sigmas[0]
+    convention)
+- center remap from align-corners-False to the kernel's pixel-center grid:
+    x' = (x + 1 - 1/W) * W / (W - 1) - 1  (same for y with H)
+- dmax modes (:203-208): 'fix' passes dmax through; 'dynamic' uses
+  (dmax + 2) / min(H, W).
+
+Everything is jit-friendly: sr_size and dmax_mode are static, scale is a
+traced scalar.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from gsasr_tpu.ops.rasterizer import (GEOM_COLS, gs_render, gs_render_px,
+                                      pack_geometry)
+from gsasr_tpu.ops.reference import gs_render_reference
+
+DEFAULT_STEP_SIZE = 1.2
+
+
+def gs_activations(gs_parameters):
+    """Raw (N, 9) decoder outputs -> physical Gaussian parameters.
+
+    Returns (sigma_x, sigma_y, rho, coords, colors_with_alpha) with shapes
+    (N,), (N,), (N,), (N, 2), (N, 3).
+    """
+    sigma_x = 0.99999 * jax.nn.sigmoid(gs_parameters[:, 0]) + 1e-6
+    sigma_y = 0.99999 * jax.nn.sigmoid(gs_parameters[:, 1]) + 1e-6
+    rho = 0.999999 * jnp.tanh(gs_parameters[:, 2])
+    alpha = jax.nn.sigmoid(gs_parameters[:, 3:4])
+    colors = jax.nn.sigmoid(gs_parameters[:, 4:7])
+    coords = gs_parameters[:, 7:9] * 2.0 - 1.0
+    return sigma_x, sigma_y, rho, coords, colors * alpha
+
+
+def to_kernel_units(sigma_x, sigma_y, rho, coords, sr_size, step_size):
+    """Convert physical units to rasterizer-kernel units.
+
+    Matches `/root/reference/utils/gaussian_splatting.py:121-123` including
+    the x/y swap and the align-corners remap of centers.
+    """
+    sr_h, sr_w = sr_size
+    ksig_x = sigma_y / step_size * 2.0 / (sr_w - 1)
+    ksig_y = sigma_x / step_size * 2.0 / (sr_h - 1)
+    sigmas = jnp.stack([ksig_x, ksig_y, rho], axis=-1)
+    cx = (coords[:, 0] + 1.0 - 1.0 / sr_w) * sr_w / (sr_w - 1) - 1.0
+    cy = (coords[:, 1] + 1.0 - 1.0 / sr_h) * sr_h / (sr_h - 1) - 1.0
+    return sigmas, jnp.stack([cx, cy], axis=-1)
+
+
+def resolve_dmax(dmax, dmax_mode: str, sr_size):
+    """`gaussian_splatting.py:203-208` dmax resolution."""
+    if dmax_mode == "dynamic":
+        return (dmax + 2.0) / min(int(sr_size[0]), int(sr_size[1]))
+    if dmax_mode == "fix":
+        return dmax
+    raise ValueError(f"dmax_mode '{dmax_mode}' must be 'fix' or 'dynamic'")
+
+
+def render_gaussians(
+    sr_size: Sequence[int],
+    gs_parameters,
+    scale,
+    *,
+    default_step_size: float = DEFAULT_STEP_SIZE,
+    if_dmax: bool = True,
+    dmax_mode: str = "fix",
+    dmax: float = 25.0,
+    use_pallas: bool = True,
+    sample_coords=None,
+):
+    """The canonical render entry — TPU equivalent of
+    `generate_2D_gaussian_splatting_step` (`gaussian_splatting.py:158-217`).
+
+    Args:
+      sr_size: static (H, W) of the output image.
+      gs_parameters: (N, 9) raw decoder outputs
+        [sigma_x, sigma_y, rho, alpha, r, g, b, mu_x, mu_y].
+      scale: traced scalar — the (isotropic) realized scale factor; the
+        reference's `mode='scale_modify'` asserts isotropy and uses
+        scale_modify[0] (:166-171), so we take one scalar.
+      if_dmax / dmax_mode / dmax: culling config (see resolve_dmax).
+      use_pallas: False falls back to the dense pure-JAX reference renderer.
+      sample_coords: optional (K, 2) integer pixel coords for sparse
+        supervision — returns (3, K) sampled values like :214-216.
+
+    Returns:
+      (3, H, W) rendered image (the reference's post-permute layout,
+      `rendering_cuda_dmax` :130), or (3, K) if sample_coords is given.
+    """
+    sr_size = (int(sr_size[0]), int(sr_size[1]))
+    step_size = default_step_size / scale
+    sigma_x, sigma_y, rho, coords, colors = gs_activations(gs_parameters)
+    sigmas, kcoords = to_kernel_units(sigma_x, sigma_y, rho, coords, sr_size,
+                                      step_size)
+    if if_dmax:
+        final_dmax = resolve_dmax(dmax, dmax_mode, sr_size)
+    else:
+        final_dmax = 100.0  # effectively uncullled (gs_cuda path)
+
+    if use_pallas:
+        img = gs_render(sigmas, kcoords, colors, sr_size, final_dmax)
+    else:
+        img = gs_render_reference(sigmas, kcoords, colors, sr_size, final_dmax)
+    img = img.transpose(2, 0, 1)  # (3, H, W)
+
+    if sample_coords is not None:
+        return img[:, sample_coords[:, 0], sample_coords[:, 1]]
+    return img
+
+
+def render_batch(sr_size, gs_parameters, scales, **kw):
+    """vmap'd batched rendering.
+
+    The reference loops the batch in Python (`gsasr_model.py:191`); on TPU we
+    vmap over the batch with a shared static sr_size (samples are padded to
+    gt_size_max by the data pipeline, matching the reference's collation).
+
+    Args:
+      gs_parameters: (B, N, 9); scales: (B,).
+    Returns: (B, 3, H, W).
+    """
+    fn = functools.partial(render_gaussians, sr_size, **kw)
+    return jax.vmap(fn)(gs_parameters, scales)
+
+
+def render_training_batch(
+    gs_parameters,
+    scales,
+    gt_h,
+    gt_w,
+    canvas_hw,
+    *,
+    default_step_size: float = DEFAULT_STEP_SIZE,
+    if_dmax: bool = True,
+    dmax_mode: str = "fix",
+    dmax: float = 25.0,
+):
+    """Batched training-time rendering on a vertically stacked canvas.
+
+    The reference loops the batch in Python, rendering each sample at its own
+    realized gt_size (`gsasr_model.py:191-211`). TPU-native: every sample
+    renders into its own row-slot of one (B*Hmax, Wmax) canvas; the per-sample
+    effective size (gt_h[i], gt_w[i]) is a *traced* value folded into the
+    pixel-unit Gaussian parameters, so one compilation serves all scales.
+    Cull boxes are clamped to each sample's effective region — pixels beyond
+    gt_size stay zero exactly like the reference's per-sample canvases.
+
+    Args:
+      gs_parameters: (B, N, 9) raw decoder outputs.
+      scales: (B,) realized scale factors (scale_modify[:, 0]).
+      gt_h, gt_w: (B,) effective SR sizes (int or float, traced ok).
+      canvas_hw: static (Hmax, Wmax), Hmax >= max(gt_h), Wmax >= max(gt_w).
+
+    Returns:
+      (B, Hmax, Wmax, 3) float32; rows/cols beyond (gt_h[i], gt_w[i]) are 0.
+    """
+    b, n, _ = gs_parameters.shape
+    hmax, wmax = int(canvas_hw[0]), int(canvas_hw[1])
+
+    def one(g, scale, h, w, idx):
+        step_size = default_step_size / scale
+        sigma_x, sigma_y, rho, coords, colors = gs_activations(g)
+        h_f = jnp.asarray(h, jnp.float32)
+        w_f = jnp.asarray(w, jnp.float32)
+        ksig_x = sigma_y / step_size * 2.0 / (w_f - 1)
+        ksig_y = sigma_x / step_size * 2.0 / (h_f - 1)
+        sigmas = jnp.stack([ksig_x, ksig_y, rho], axis=-1)
+        cx = (coords[:, 0] + 1.0 - 1.0 / w_f) * w_f / (w_f - 1) - 1.0
+        cy = (coords[:, 1] + 1.0 - 1.0 / h_f) * h_f / (h_f - 1) - 1.0
+        kcoords = jnp.stack([cx, cy], axis=-1)
+        if if_dmax:
+            if dmax_mode == "dynamic":
+                d = (dmax + 2.0) / jnp.minimum(h_f, w_f)
+            else:
+                d = jnp.asarray(dmax, jnp.float32)
+        else:
+            d = jnp.asarray(100.0, jnp.float32)
+        off = idx.astype(jnp.float32) * hmax
+        geom = pack_geometry(
+            sigmas, kcoords, (h_f, w_f), d,
+            y_offset=off,
+            y_slot=(off, off + h_f - 1.0),
+            x_slot=(0.0, w_f - 1.0),
+        )
+        return geom, colors
+
+    geoms, colors = jax.vmap(one)(
+        gs_parameters, jnp.asarray(scales, jnp.float32),
+        jnp.asarray(gt_h), jnp.asarray(gt_w), jnp.arange(b))
+    canvas = gs_render_px(geoms.reshape(b * n, GEOM_COLS),
+                          colors.reshape(b * n, 3), (b * hmax, wmax))
+    return canvas.reshape(b, hmax, wmax, 3)

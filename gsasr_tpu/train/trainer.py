@@ -1,0 +1,170 @@
+"""Data-parallel GSASR trainer.
+
+TPU re-design of `basicsr/models/gsasr_model.py` (GSASRModel) +
+`basicsr/models/base_model.py`:
+
+- two networks (encoder `net_g` + decoder `net_fea2gs`), one fused train
+  step: encoder fwd -> decoder fwd -> batched canvas-stacked rendering ->
+  masked L1 -> grads -> per-network clip-by-norm(5) -> Adam(2e-4, 0.9/0.99)
+  with MultiStep x warmup schedule -> EMA(0.999) for both networks
+  (`gsasr_model.py:175-280`, train yml `:94-122`);
+- gradient accumulation via optax.MultiSteps (`accumulation_steps`);
+- data parallelism: params replicated, batch sharded over the mesh 'data'
+  axis; XLA inserts the gradient all-reduce over ICI (replaces DDP/NCCL,
+  `base_model.py:88-102`);
+- bf16 compute (AMP family, `gsasr_amp_model.py:208`) is a model-dtype
+  switch — no GradScaler needed on TPU (bf16 has fp32-range exponent).
+
+Checkpoints keep the reference's dual-key semantics ({params, params_ema},
+`base_model.py:208-253`) via gsasr_tpu.utils.checkpoint.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from gsasr_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                     replicated_sharding)
+from gsasr_tpu.rendering import render_training_batch
+from gsasr_tpu.train.losses import masked_l1, size_mask
+from gsasr_tpu.train.schedules import multistep_warmup_schedule
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Paper recipe defaults
+    (`options/train/paper/train_GSASR_EDSR-Baseline_paper_bicubic_x1_4.yml:
+    94-122`)."""
+    lr: float = 2e-4
+    betas: Tuple[float, float] = (0.9, 0.99)
+    milestones: Tuple[int, ...] = (250000, 400000, 450000, 475000)
+    gamma: float = 0.5
+    total_iter: int = 500000
+    warmup_iter: int = 2000
+    ema_decay: float = 0.999
+    clip_grad_norm: Optional[float] = 5.0
+    accumulation_steps: int = 1
+    # rendering (train yml :18-20)
+    default_step_size: float = 1.2
+    dmax: float = 0.5
+    dmax_mode: str = "fix"
+    if_dmax: bool = True
+    # canvas (gt_size_max from the dataset config)
+    canvas_hw: Tuple[int, int] = (192, 192)
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params_g: Any
+    params_d: Any
+    ema_g: Any
+    ema_d: Any
+    opt_state: Any
+
+
+class Trainer:
+    """Functional trainer: `state = trainer.init(...)`,
+    `state, metrics = trainer.step(state, batch)` (jitted, donates state).
+
+    Batch dict (see gsasr_tpu.data): lq (B,h,w,3), gt (B,Hmax,Wmax,3),
+    scale (B,), gt_h (B,), gt_w (B,) int32.
+    """
+
+    def __init__(self, enc, dec, config: TrainConfig = TrainConfig(),
+                 mesh=None):
+        self.enc = enc
+        self.dec = dec
+        self.cfg = config
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.schedule = multistep_warmup_schedule(
+            config.lr, config.milestones, config.gamma, config.warmup_iter)
+        tx = optax.adam(self.schedule, b1=config.betas[0], b2=config.betas[1])
+        if config.accumulation_steps > 1:
+            tx = optax.MultiSteps(tx, config.accumulation_steps)
+        self.tx = tx
+
+        self._step = jax.jit(
+            self._step_impl,
+            donate_argnums=(0,),
+            in_shardings=(replicated_sharding(self.mesh),
+                          batch_sharding(self.mesh)),
+            out_shardings=(replicated_sharding(self.mesh),
+                           replicated_sharding(self.mesh)),
+        )
+
+    # -- init ---------------------------------------------------------------
+
+    def init(self, rng, lq_shape: Sequence[int]) -> TrainState:
+        rng_g, rng_d = jax.random.split(rng)
+        b, h, w, c = lq_shape
+        feat_ch = getattr(self.enc, "num_feat", 64)
+        params_g = self.enc.init(rng_g, jnp.zeros((1, h, w, c)))["params"]
+        params_d = self.dec.init(
+            rng_d, jnp.zeros((1, h, w, feat_ch)), jnp.ones((1,)))["params"]
+        opt_state = self.tx.init({"g": params_g, "d": params_d})
+        # EMA trees must be distinct buffers: the jitted step donates the
+        # state, and aliased params/ema leaves would be donated twice.
+        copy = lambda tree: jax.tree_util.tree_map(jnp.copy, tree)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params_g=params_g, params_d=params_d,
+            ema_g=copy(params_g), ema_d=copy(params_d),
+            opt_state=opt_state)
+        return jax.device_put(state, replicated_sharding(self.mesh))
+
+    # -- one training step --------------------------------------------------
+
+    def _loss_fn(self, params, batch):
+        cfg = self.cfg
+        feat = self.enc.apply({"params": params["g"]}, batch["lq"])
+        gs = self.dec.apply({"params": params["d"]}, feat, batch["scale"])
+        out = render_training_batch(
+            gs, batch["scale"], batch["gt_h"], batch["gt_w"], cfg.canvas_hw,
+            default_step_size=cfg.default_step_size, if_dmax=cfg.if_dmax,
+            dmax_mode=cfg.dmax_mode, dmax=cfg.dmax)
+        mask = size_mask(batch["gt_h"], batch["gt_w"], *cfg.canvas_hw)
+        l_pix = masked_l1(out, batch["gt"], mask)
+        return l_pix, {"l_pix": l_pix}
+
+    def _step_impl(self, state: TrainState, batch):
+        cfg = self.cfg
+        params = {"g": state.params_g, "d": state.params_d}
+        (loss, metrics), grads = jax.value_and_grad(
+            self._loss_fn, has_aux=True)(params, batch)
+
+        if cfg.clip_grad_norm is not None:
+            # Reference clips each network separately
+            # (`gsasr_model.py:250-252`).
+            def clip(tree):
+                norm = optax.global_norm(tree)
+                scale = jnp.minimum(1.0, cfg.clip_grad_norm / (norm + 1e-12))
+                return jax.tree_util.tree_map(lambda x: x * scale, tree), norm
+
+            g_g, norm_g = clip(grads["g"])
+            g_d, norm_d = clip(grads["d"])
+            grads = {"g": g_g, "d": g_d}
+            metrics = dict(metrics, grad_norm_g=norm_g, grad_norm_d=norm_d)
+
+        updates, opt_state = self.tx.update(grads, state.opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        d = cfg.ema_decay
+        ema_g = jax.tree_util.tree_map(
+            lambda e, p: e * d + p * (1.0 - d), state.ema_g, params["g"])
+        ema_d = jax.tree_util.tree_map(
+            lambda e, p: e * d + p * (1.0 - d), state.ema_d, params["d"])
+
+        metrics = dict(metrics, loss=loss, lr=self.schedule(state.step))
+        new_state = state.replace(
+            step=state.step + 1, params_g=params["g"], params_d=params["d"],
+            ema_g=ema_g, ema_d=ema_d, opt_state=opt_state)
+        return new_state, metrics
+
+    def step(self, state: TrainState, batch):
+        return self._step(state, batch)

@@ -1,0 +1,111 @@
+"""Checkpoint save/load with the reference's dual-key semantics.
+
+The reference saves each network as `{'params': sd, 'params_ema': sd}`
+(`basicsr/models/base_model.py:208-253`), training state (optimizers +
+iter) as a separate `.state` file (`:318-366`), resumes from `params` and
+evaluates from `params_ema` (`gsasr_model.py:42-66`). We keep the same
+structure in orbax:
+
+  <dir>/<step>/
+    net_g/{params, params_ema}
+    net_fea2gs/{params, params_ema}
+    train_state/{opt_state, step}
+
+`load_torch_checkpoint` ingests reference .pth files (torch CPU unpickle +
+gsasr_tpu.utils.torch_convert mapping) for parity evaluation.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def save_checkpoint(directory, step: int, state, *, keep: int = 5):
+    """Save TrainState (gsasr_tpu.train.trainer.TrainState) via orbax."""
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).absolute()
+    directory.mkdir(parents=True, exist_ok=True)
+    payload = {
+        "net_g": {"params": state.params_g, "params_ema": state.ema_g},
+        "net_fea2gs": {"params": state.params_d, "params_ema": state.ema_d},
+        "train_state": {"opt_state": state.opt_state,
+                        "step": state.step},
+    }
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(directory / str(step), payload, force=True)
+    ckptr.wait_until_finished()
+    _prune(directory, keep)
+
+
+def _prune(directory: Path, keep: int):
+    steps = sorted(
+        (int(p.name) for p in directory.iterdir()
+         if p.is_dir() and p.name.isdigit()))
+    for s in steps[:-keep]:
+        import shutil
+        shutil.rmtree(directory / str(s), ignore_errors=True)
+
+
+def latest_step(directory) -> Optional[int]:
+    """`--auto_resume` support (`train.py:68-95`): newest saved step."""
+    directory = Path(directory)
+    if not directory.exists():
+        return None
+    steps = [int(p.name) for p in directory.iterdir()
+             if p.is_dir() and p.name.isdigit()]
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(directory, step: int, state_template):
+    """Restore into the structure of `state_template` (a TrainState)."""
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).absolute()
+    template = {
+        "net_g": {"params": state_template.params_g,
+                  "params_ema": state_template.ema_g},
+        "net_fea2gs": {"params": state_template.params_d,
+                       "params_ema": state_template.ema_d},
+        "train_state": {"opt_state": state_template.opt_state,
+                        "step": state_template.step},
+    }
+    ckptr = ocp.StandardCheckpointer()
+    payload = ckptr.restore(directory / str(step), template)
+    return state_template.replace(
+        step=payload["train_state"]["step"],
+        params_g=payload["net_g"]["params"],
+        ema_g=payload["net_g"]["params_ema"],
+        params_d=payload["net_fea2gs"]["params"],
+        ema_d=payload["net_fea2gs"]["params_ema"],
+        opt_state=payload["train_state"]["opt_state"])
+
+
+def load_torch_checkpoint(path, kind: str, param_key: str = "params_ema",
+                          **convert_kwargs) -> Dict[str, Any]:
+    """Load a reference .pth network file -> flax params.
+
+    kind: 'edsr' | 'fea2gs'. param_key follows the reference's test configs
+    (`param_key_g: params_ema`, e.g. options/test/paper/
+    test_GSASR_EDSR-Baseline_paper_bicubic_x1_4_x4.yml:111).
+    """
+    import torch
+
+    from gsasr_tpu.utils import torch_convert
+
+    blob = torch.load(path, map_location="cpu", weights_only=True)
+    sd = blob.get(param_key, blob) if isinstance(blob, dict) else blob
+    if kind == "edsr":
+        return torch_convert.convert_edsr(sd)
+    if kind == "rdn":
+        return torch_convert.convert_rdn(sd)
+    if kind == "swinir":
+        return torch_convert.convert_swinir(sd)
+    if kind == "fea2gs":
+        return torch_convert.convert_fea2gs(sd, **convert_kwargs)
+    raise ValueError(f"unknown checkpoint kind {kind!r}")

@@ -1,0 +1,59 @@
+"""Import helpers for using the reference PyTorch implementation (mounted
+read-only at /root/reference) as a numerical oracle in tests.
+
+We never copy reference code into this repo; we *execute* it (CPU torch) to
+generate golden outputs for parity tests. torchvision is not installed in
+this image, so it's stubbed before import (the reference only imports it for
+save_image, unused in forward passes).
+"""
+
+import sys
+import types
+from pathlib import Path
+
+REFERENCE = Path("/root/reference")
+
+
+def reference_available() -> bool:
+    return REFERENCE.exists()
+
+
+def _stub_torchvision():
+    if "torchvision" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+    tv_utils = types.ModuleType("torchvision.utils")
+    tv_utils.save_image = lambda *a, **k: None
+    tv_utils.make_grid = lambda *a, **k: None
+    tv.utils = tv_utils
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.utils"] = tv_utils
+
+
+def import_reference_module(name: str):
+    """Import e.g. 'utils.fea2gs' from the reference tree.
+
+    Names under 'TrainTestGSASR.' are loaded as standalone files (that tree
+    has no top-level __init__.py and basicsr's package __init__ pulls heavy
+    dependencies we don't need for oracles).
+    """
+    _stub_torchvision()
+    if name.startswith("TrainTestGSASR."):
+        rel = name.replace(".", "/") + ".py"
+        return import_reference_file(rel, name.rsplit(".", 1)[-1])
+    if str(REFERENCE) not in sys.path:
+        sys.path.insert(0, str(REFERENCE))
+    import importlib
+    return importlib.import_module(name)
+
+
+def import_reference_file(relpath: str, name: str):
+    """Load a single reference .py file without package machinery."""
+    _stub_torchvision()
+    import importlib.util
+    path = REFERENCE / relpath
+    spec = importlib.util.spec_from_file_location(f"refonly_{name}", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod

@@ -1,0 +1,84 @@
+"""Data pipeline tests: continuous-scale dataset semantics + sharding."""
+
+import math
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def gt_dir(tmp_path_factory):
+    import cv2
+    d = tmp_path_factory.mktemp("gt")
+    g = np.random.default_rng(0)
+    for i in range(4):
+        img = (g.random((220, 240, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(d / f"img{i}.png"), img)
+    return d
+
+
+def test_continuous_dataset_semantics(gt_dir):
+    from gsasr_tpu.data.datasets import ContinuousBicubicDataset
+
+    ds = ContinuousBicubicDataset([str(gt_dir)], scale_list=(1.0, 4.0),
+                                  lr_size=48, seed=3)
+    assert len(ds) == 4
+    assert ds.gt_size_max == math.ceil(4.0 * 48)
+    s = ds[0]
+    assert s["lq"].shape == (48, 48, 3)
+    assert s["gt"].shape == (ds.gt_size_max, ds.gt_size_max, 3)
+    assert 1.0 <= float(s["scale"]) <= 4.0
+    gh, gw = int(s["gt_h"]), int(s["gt_w"])
+    assert gh == math.ceil(float(s["scale"]) * 48)
+    # realized scale_modify = crop / lr_size
+    np.testing.assert_allclose(s["scale_modify"][0], gh / 48, rtol=1e-6)
+    # padding beyond gt size is zero
+    if gh < ds.gt_size_max:
+        assert np.all(s["gt"][gh:] == 0)
+    assert s["lq"].min() >= 0 and s["lq"].max() <= 1
+
+
+def test_batch_iterator_sharding(gt_dir):
+    from gsasr_tpu.data.datasets import (ContinuousBicubicDataset,
+                                         batch_iterator, epoch_indices)
+
+    ds = ContinuousBicubicDataset([str(gt_dir)], lr_size=24)
+    batches = list(batch_iterator(ds, 2, epoch=0, enlarge_ratio=4))
+    assert len(batches) == 8  # 4 imgs * 4 enlarge / 2 per batch
+    b = batches[0]
+    assert b["lq"].shape == (2, 24, 24, 3)
+    assert b["scale"].shape == (2,)
+    assert b["gt_h"].dtype == np.int32
+
+    # shards partition the index stream
+    i0 = epoch_indices(10, epoch=1, num_shards=2, shard=0)
+    i1 = epoch_indices(10, epoch=1, num_shards=2, shard=1)
+    assert len(i0) == len(i1) == 5
+    # deterministic given (seed, epoch)
+    np.testing.assert_array_equal(i0, epoch_indices(10, epoch=1,
+                                                    num_shards=2, shard=0))
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    import jax
+    from gsasr_tpu.train import TrainConfig, Trainer
+    from gsasr_tpu.models import EDSRNOUP, Fea2GS
+    from gsasr_tpu.utils.checkpoint import (latest_step, restore_checkpoint,
+                                            save_checkpoint)
+
+    enc = EDSRNOUP(num_feat=8, num_block=1)
+    dec = Fea2GS(inchannel=8, channel=12, num_heads=6,
+                 num_crossattn_blocks=1, num_crossattn_layers=1,
+                 num_selfattn_blocks=1, num_selfattn_layers=1,
+                 num_gs_seed=16, window_size=4)
+    trainer = Trainer(enc, dec, TrainConfig(canvas_hw=(16, 16)))
+    state = trainer.init(jax.random.PRNGKey(0), (1, 4, 4, 3))
+
+    save_checkpoint(tmp_path / "ck", 7, state)
+    assert latest_step(tmp_path / "ck") == 7
+
+    state2 = trainer.init(jax.random.PRNGKey(1), (1, 4, 4, 3))
+    restored = restore_checkpoint(tmp_path / "ck", 7, state2)
+    a = jax.tree_util.tree_leaves(state.params_g)[0]
+    b = jax.tree_util.tree_leaves(restored.params_g)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

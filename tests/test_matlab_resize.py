@@ -1,0 +1,44 @@
+"""Bicubic-resize parity vs the reference's MATLAB-faithful torch loops."""
+
+import numpy as np
+import pytest
+
+from tests.reference_oracle import import_reference_module, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference tree not mounted")
+
+
+@pytest.mark.parametrize("shape,scale", [
+    ((17, 23, 3), 0.25),
+    ((32, 32, 3), 0.5),
+    ((12, 20, 3), 2.0),
+    ((48, 48), 1 / 3.7),
+])
+def test_imresize_parity(rng, shape, scale):
+    ref = import_reference_module(
+        "TrainTestGSASR.basicsr.utils.matlab_functions")
+    from gsasr_tpu.data import imresize
+
+    img = rng.random(shape).astype(np.float32)
+    out_ref = ref.imresize(img, scale)
+    out = imresize(img, scale)
+    assert out.shape == out_ref.shape
+    np.testing.assert_allclose(out, out_ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("scale_h,scale_w", [
+    (0.3117, 0.3117),
+    (1 / 2.71828, 1 / 2.71828),
+    (0.5, 0.5),
+])
+def test_imresize_new_parity(rng, scale_h, scale_w):
+    ref = import_reference_module(
+        "TrainTestGSASR.basicsr.utils.matlab_functions")
+    from gsasr_tpu.data import imresize_new
+
+    img = rng.random((37, 41, 3)).astype(np.float32)
+    out_ref = ref.imresize_new(img, scale_h, scale_w)
+    out = imresize_new(img, scale_h, scale_w)
+    assert out.shape == out_ref.shape
+    np.testing.assert_allclose(out, out_ref, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,152 @@
+"""Rasterizer parity gates, modeled on the reference's kernel check script
+(`/root/reference/utils/gs_cuda_dmax/check.py:34-122`): random Gaussians on a
+small image, forward image allclose, and backward grads for sigmas / coords /
+colors through a loss `sum(weight * rendered)` with random per-pixel weights.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsasr_tpu.ops import gs_render, gs_render_reference
+
+
+def _random_gaussians(rng, s):
+    # Same distribution as check.py:41-46.
+    sigmas = 0.999 * rng.random((s, 3), dtype=np.float32)
+    sigmas[:, :2] = 5 * sigmas[:, :2] + 1e-3
+    coords = 2 * rng.random((s, 2), dtype=np.float32) - 1.0
+    colors = rng.random((s, 3), dtype=np.float32)
+    return jnp.asarray(sigmas), jnp.asarray(coords), jnp.asarray(colors)
+
+
+@pytest.mark.parametrize("s,size,dmax", [
+    (4, (10, 10), 0.5),
+    (64, (17, 23), 0.5),
+    (300, (33, 129), 0.25),
+    (64, (16, 16), 100.0),   # no culling
+])
+def test_forward_matches_reference(rng, s, size, dmax):
+    sigmas, coords, colors = _random_gaussians(rng, s)
+    ref = gs_render_reference(sigmas, coords, colors, size, dmax)
+    out = gs_render(sigmas, coords, colors, size, dmax)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_forward_chunked_matches(rng):
+    # More Gaussians than one chunk: exercises padding + chunk bboxes.
+    sigmas, coords, colors = _random_gaussians(rng, 700)
+    size = (32, 160)
+    ref = gs_render_reference(sigmas, coords, colors, size, 0.3)
+    out = gs_render(sigmas, coords, colors, size, 0.3, gc=256)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_backward_matches_reference_autodiff(rng):
+    s, size, dmax = 32, (10, 10), 0.5
+    sigmas, coords, colors = _random_gaussians(rng, s)
+    weight = jnp.asarray(rng.random((size[0], size[1], 3), dtype=np.float32))
+
+    def loss_ref(sg, co, cl):
+        return jnp.sum(weight * gs_render_reference(sg, co, cl, size, dmax))
+
+    def loss_pal(sg, co, cl):
+        return jnp.sum(weight * gs_render(sg, co, cl, size, dmax))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(sigmas, coords, colors)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2))(sigmas, coords, colors)
+
+    for a, b, name in zip(g_pal, g_ref, ["sigmas", "coords", "colors"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_backward_chunked_sorted(rng):
+    # Gradients through the spatial sort + padding path.
+    s, size, dmax = 600, (24, 136), 0.4
+    sigmas, coords, colors = _random_gaussians(rng, s)
+    weight = jnp.asarray(rng.random((size[0], size[1], 3), dtype=np.float32))
+
+    def loss_ref(sg, co, cl):
+        return jnp.sum(weight * gs_render_reference(sg, co, cl, size, dmax))
+
+    def loss_pal(sg, co, cl):
+        return jnp.sum(weight * gs_render(sg, co, cl, size, dmax, gc=256))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(sigmas, coords, colors)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2))(sigmas, coords, colors)
+    for a, b, name in zip(g_pal, g_ref, ["sigmas", "coords", "colors"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_deterministic(rng):
+    # Unlike the reference CUDA forward (atomicAdd, nondeterministic order),
+    # the tile design must be bitwise reproducible.
+    sigmas, coords, colors = _random_gaussians(rng, 500)
+    size = (32, 130)
+    a = np.asarray(gs_render(sigmas, coords, colors, size, 0.3))
+    b = np.asarray(gs_render(sigmas, coords, colors, size, 0.3))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_dmax_actually_culls(rng):
+    # A faraway Gaussian must contribute nothing under a small dmax.
+    sigmas = jnp.array([[5.0, 5.0, 0.0]], jnp.float32)
+    coords = jnp.array([[0.9, 0.9]], jnp.float32)
+    colors = jnp.array([[1.0, 1.0, 1.0]], jnp.float32)
+    img = gs_render(sigmas, coords, colors, (64, 64), dmax=0.05)
+    img = np.asarray(img)
+    assert img[0, 0].max() == 0.0          # far corner culled
+    assert img[60, 60].max() > 0.0          # near the center it renders
+
+
+def test_px_api_slot_clamping(rng):
+    """Pixel-unit API: batch slot stacking must not bleed across slots."""
+    import jax.numpy as jnp
+    from gsasr_tpu.ops.rasterizer import gs_render_px, pack_geometry
+
+    s = 40
+    sigmas = jnp.asarray(0.999 * rng.random((s, 3), dtype=np.float32) + 1e-3)
+    sigmas = sigmas.at[:, :2].mul(5)
+    coords = jnp.asarray(2 * rng.random((s, 2), dtype=np.float32) - 1)
+    colors = jnp.asarray(rng.random((s, 3), dtype=np.float32))
+
+    h = w = 32
+    # Slot 0 of a 2-slot canvas, huge dmax: without clamping this Gaussian
+    # set would spill into rows >= h.
+    geom = pack_geometry(sigmas, coords, (h, w), dmax=100.0,
+                         y_offset=0.0, y_slot=(0.0, float(h - 1)))
+    img = np.asarray(gs_render_px(geom, colors, (2 * h, w)))
+    assert img[:h].max() > 0
+    np.testing.assert_array_equal(img[h:], 0.0)
+
+    # The slot render equals the standalone render.
+    solo = np.asarray(gs_render(sigmas, coords, colors, (h, w), 100.0))
+    np.testing.assert_allclose(img[:h], solo, rtol=1e-5, atol=1e-5)
+
+
+def test_px_api_traced_effective_size(rng):
+    """Effective (h_eff, w_eff) may be traced: rendering a 20x20 effective
+    image on a 32x32 canvas matches the standalone 20x20 render."""
+    import jax
+    import jax.numpy as jnp
+    from gsasr_tpu.ops.rasterizer import gs_render_px, pack_geometry
+
+    s = 24
+    sigmas = jnp.asarray(0.999 * rng.random((s, 3), dtype=np.float32) + 1e-3)
+    sigmas = sigmas.at[:, :2].mul(5)
+    coords = jnp.asarray(2 * rng.random((s, 2), dtype=np.float32) - 1)
+    colors = jnp.asarray(rng.random((s, 3), dtype=np.float32))
+
+    @jax.jit
+    def render_eff(h_eff, w_eff):
+        geom = pack_geometry(sigmas, coords, (h_eff, w_eff), 0.5)
+        return gs_render_px(geom, colors, (32, 32))
+
+    img = np.asarray(render_eff(jnp.float32(20), jnp.float32(20)))
+    solo = np.asarray(gs_render(sigmas, coords, colors, (20, 20), 0.5))
+    np.testing.assert_allclose(img[:20, :20], solo, rtol=1e-4, atol=1e-5)
