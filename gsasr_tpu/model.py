@@ -19,7 +19,8 @@ from typing import Any, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from gsasr_tpu.models import EDSRNOUP, Fea2GS, RDNNOUP, SwinIRNOUP
+from gsasr_tpu.models import (EDSRNOUP, Fea2GS, Fea2GSRopeAMP, HATNOUP,
+                              RDNNOUP, SwinIRNOUP)
 from gsasr_tpu.rendering import render_gaussians
 
 # Denominator = window_size * lcm considerations per encoder
@@ -39,20 +40,40 @@ def pad_to_denominator(img, denom: int):
     return img, (h, w)
 
 
-def make_models(encoder: str = "edsr", *, dtype=jnp.float32,
-                decoder_kwargs: Optional[dict] = None):
-    """Build (encoder_module, decoder_module) for a named config."""
+def make_models(encoder: str = "edsr", version: str = "paper", *,
+                dtype=jnp.float32, decoder_kwargs: Optional[dict] = None):
+    """Build (encoder_module, decoder_module) for a named config.
+
+    version: 'paper' (Fea2GS decoder) or 'enhanced'/'ultra'
+    (Fea2GSRopeAMP with the per-backbone configs of
+    `inference_enhenced.py:40-52`).
+    """
     decoder_kwargs = dict(decoder_kwargs or {})
-    if encoder == "edsr":
-        enc = EDSRNOUP(dtype=dtype)
-    elif encoder == "rdn":
-        enc = RDNNOUP(dtype=dtype)
-    elif encoder == "swinir":
-        enc = SwinIRNOUP(dtype=dtype)
+    encoders = {
+        "edsr": EDSRNOUP,
+        "rdn": RDNNOUP,
+        "swinir": SwinIRNOUP,
+        "hat": HATNOUP,
+    }
+    if encoder not in encoders:
+        raise NotImplementedError(f"encoder '{encoder}'")
+    enc = encoders[encoder](dtype=dtype)
+
+    if version == "paper":
+        dec = Fea2GS(dtype=dtype, **decoder_kwargs)
     else:
-        raise NotImplementedError(
-            f"encoder '{encoder}' not yet implemented in this build")
-    dec = Fea2GS(dtype=dtype, **decoder_kwargs)
+        enhanced_cfg = {
+            "edsr": {},
+            "rdn": dict(num_crossattn_blocks=2),
+            "swinir": dict(num_crossattn_blocks=2, num_crossattn_layers=4,
+                           num_gs_seed=256, window_size=16),
+            "hat": dict(channel=192, num_crossattn_blocks=4,
+                        num_crossattn_layers=4, num_selfattn_blocks=8,
+                        num_selfattn_layers=6, num_gs_seed=256,
+                        window_size=16),
+        }[encoder]
+        enhanced_cfg.update(decoder_kwargs)
+        dec = Fea2GSRopeAMP(dtype=dtype, **enhanced_cfg)
     return enc, dec
 
 

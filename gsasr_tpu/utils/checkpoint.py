@@ -108,4 +108,8 @@ def load_torch_checkpoint(path, kind: str, param_key: str = "params_ema",
         return torch_convert.convert_swinir(sd)
     if kind == "fea2gs":
         return torch_convert.convert_fea2gs(sd, **convert_kwargs)
+    if kind == "fea2gs_rope":
+        return torch_convert.convert_fea2gs_rope(sd)
+    if kind == "hat":
+        return torch_convert.convert_hat(sd)
     raise ValueError(f"unknown checkpoint kind {kind!r}")

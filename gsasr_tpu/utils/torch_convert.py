@@ -281,3 +281,154 @@ def convert_swinir(sd) -> Dict:
             }
         params[f"layer_{i}"] = layer
     return params
+
+
+# ---------------------------------------------------------------------------
+# Fea2GS_ROPE_AMP (enhanced)
+# ---------------------------------------------------------------------------
+
+
+def _rope_attn(sd, key):
+    return {
+        "rope_freqs": _np(sd[f"{key}.rope_freqs"]),
+        "qhead": _dense(sd, f"{key}.qhead"),
+        "khead": _dense(sd, f"{key}.khead"),
+        "vhead": _dense(sd, f"{key}.vhead"),
+        "proj": _dense(sd, f"{key}.proj"),
+    }
+
+
+def convert_fea2gs_rope(sd) -> Dict:
+    """`utils/fea2gsropeamp.py:518-719` Fea2GS_ROPE_AMP -> flax params."""
+
+    def n_items(prefix):
+        idx = [int(k[len(prefix):].split(".")[0]) for k in sd
+               if k.startswith(prefix)]
+        return 1 + max(idx)
+
+    params = {
+        "gs_embedding": _np(sd["gs_embedding"]),
+        "pos_embedding": _np(sd["pos_embedding"]),
+        "img_feat_proj_0": _conv(sd, "img_feat_proj.0"),
+        "img_feat_proj_2": _conv(sd, "img_feat_proj.2"),
+        "scale_mlp_0": _dense(sd, "scale_mlp.0"),
+        "scale_mlp_2": _dense(sd, "scale_mlp.2"),
+        "upnet_0": _conv(sd, "UPNet.0"),
+        "upnet_2": _conv(sd, "UPNet.2"),
+        "conv_final": _conv(sd, "conv_final"),
+        "mlp_block_sigma": _head_mlp(sd, "mlp_block_sigma"),
+        "mlp_block_rho": _head_mlp(sd, "mlp_block_rho"),
+        "mlp_block_alpha": _head_mlp(sd, "mlp_block_alpha"),
+        "mlp_block_rgb": _head_mlp(sd, "mlp_block_rgb"),
+        "mlp_block_mean": _head_mlp(sd, "mlp_block_mean"),
+    }
+
+    for i in range(n_items("window_crossattn_blocks.")):
+        bk = f"window_crossattn_blocks.{i}"
+        blk = {
+            "norm": _ln(sd, f"{bk}.norm"),
+            "mlp_0": _dense(sd, f"{bk}.mlp.0"),
+            "mlp_2": _dense(sd, f"{bk}.mlp.2"),
+            "conv": _conv(sd, f"{bk}.conv"),
+        }
+        for j in range(n_items(f"{bk}.blocks.")):
+            lk = f"{bk}.blocks.{j}"
+            blk[f"blocks_{j}"] = {
+                "norm1": _ln(sd, f"{lk}.norm1"),
+                "norm2": _ln(sd, f"{lk}.norm2"),
+                "norm3": _ln(sd, f"{lk}.norm3"),
+                "norm4": _ln(sd, f"{lk}.norm4"),
+                "gs_cross_attn_scale": _mha_scale_inject(
+                    sd, f"{lk}.gs_cross_attn_scale"),
+                "window_cross_attn": _rope_attn(
+                    sd, f"{lk}.window_cross_attn"),
+                "mlp_crossattn_scale": _mlp(sd, f"{lk}.mlp_crossattn_scale"),
+                "mlp_crossattn_feature": _mlp(
+                    sd, f"{lk}.mlp_crossattn_feature"),
+            }
+        params[f"window_crossattn_blocks_{i}"] = blk
+
+    for i in range(n_items("gs_selfattn_blocks.")):
+        bk = f"gs_selfattn_blocks.{i}"
+        blk = {
+            "norm": _ln(sd, f"{bk}.norm"),
+            "mlp_0": _dense(sd, f"{bk}.mlp.0"),
+            "mlp_2": _dense(sd, f"{bk}.mlp.2"),
+            "conv": _conv(sd, f"{bk}.conv"),
+        }
+        for j in range(n_items(f"{bk}.blocks.")):
+            lk = f"{bk}.blocks.{j}"
+            blk[f"blocks_{j}"] = {
+                "norm1": _ln(sd, f"{lk}.norm1"),
+                "norm2": _ln(sd, f"{lk}.norm2"),
+                "norm3": _ln(sd, f"{lk}.norm3"),
+                "norm4": _ln(sd, f"{lk}.norm4"),
+                "gs_cross_attn_scale": _mha_scale_inject(
+                    sd, f"{lk}.gs_cross_attn_scale"),
+                "gs_self_attn": _rope_attn(sd, f"{lk}.gs_self_attn"),
+                "mlp_selfattn": _mlp(sd, f"{lk}.mlp_selfattn"),
+                "mlp_crossattn": _mlp(sd, f"{lk}.mlp_crossattn"),
+            }
+        params[f"gs_selfattn_blocks_{i}"] = blk
+
+    return params
+
+
+# ---------------------------------------------------------------------------
+# HAT (ROPE AMP)
+# ---------------------------------------------------------------------------
+
+
+def _hat_hab(sd, key):
+    return {
+        "norm1": _ln(sd, f"{key}.norm1"),
+        "norm2": _ln(sd, f"{key}.norm2"),
+        "attn": {
+            "rope_freqs": _np(sd[f"{key}.attn.rope_freqs"]),
+            "qkv": _dense(sd, f"{key}.attn.qkv"),
+            "proj": _dense(sd, f"{key}.attn.proj"),
+        },
+        "conv_block": {
+            "conv1": _conv(sd, f"{key}.conv_block.cab.0"),
+            "conv2": _conv(sd, f"{key}.conv_block.cab.2"),
+            "ca": {
+                "fc1": _conv(sd, f"{key}.conv_block.cab.3.attention.1"),
+                "fc2": _conv(sd, f"{key}.conv_block.cab.3.attention.3"),
+            },
+        },
+        "mlp_fc1": _dense(sd, f"{key}.mlp.fc1"),
+        "mlp_fc2": _dense(sd, f"{key}.mlp.fc2"),
+    }
+
+
+def convert_hat(sd) -> Dict:
+    """`utils/hatropeamp.py:886-1155` HATNOUP_ROPE_AMP -> flax params."""
+    n_layers = 1 + max(int(k.split(".")[1]) for k in sd
+                       if k.startswith("layers."))
+    params = {
+        "conv_first": _conv(sd, "conv_first"),
+        "patch_embed_norm": _ln(sd, "patch_embed.norm"),
+        "norm": _ln(sd, "norm"),
+        "conv_after_body": _conv(sd, "conv_after_body"),
+        "conv_before_upsample_0": _conv(sd, "conv_before_upsample.0"),
+    }
+    for i in range(n_layers):
+        rg = f"layers.{i}.residual_group"
+        bk = f"{rg}.blocks."
+        n_blocks = 1 + max(int(k[len(bk):].split(".")[0]) for k in sd
+                           if k.startswith(bk))
+        layer = {"conv": _conv(sd, f"layers.{i}.conv")}
+        for j in range(n_blocks):
+            layer[f"block_{j}"] = _hat_hab(sd, f"{bk}{j}")
+        oc = f"{rg}.overlap_attn"
+        layer["overlap_attn"] = {
+            "norm1": _ln(sd, f"{oc}.norm1"),
+            "norm2": _ln(sd, f"{oc}.norm2"),
+            "qkv": _dense(sd, f"{oc}.qkv"),
+            "proj": _dense(sd, f"{oc}.proj"),
+            "rope_freqs": _np(sd[f"{oc}.rope_freqs"]),
+            "mlp_fc1": _dense(sd, f"{oc}.mlp.fc1"),
+            "mlp_fc2": _dense(sd, f"{oc}.mlp.fc2"),
+        }
+        params[f"layer_{i}"] = layer
+    return params

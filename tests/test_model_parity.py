@@ -145,3 +145,63 @@ def test_swinir_parity_small():
                     jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
     y = np.asarray(y).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(y, y_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_fea2gs_rope_parity_small():
+    import torch
+    ref_mod = import_reference_module("utils.fea2gsropeamp")
+    import jax.numpy as jnp
+    from gsasr_tpu.models import Fea2GSRopeAMP
+    from gsasr_tpu.utils.torch_convert import convert_fea2gs_rope
+
+    torch.manual_seed(0)
+    cfg = dict(inchannel=8, channel=24, num_heads=6, num_crossattn_blocks=1,
+               num_crossattn_layers=2, num_selfattn_blocks=1,
+               num_selfattn_layers=2, num_gs_seed=16, gs_up_factor=1.0,
+               window_size=4)
+    net = ref_mod.Fea2GS_ROPE_AMP(**cfg)
+    net.eval()
+    b, h, w = 2, 8, 12
+    x = torch.randn(b, cfg["inchannel"], h, w)
+    scale = torch.tensor([2.0, 3.5])
+    with torch.no_grad():
+        y_ref = net(x, scale).numpy()
+
+    params = convert_fea2gs_rope(net.state_dict())
+    model = Fea2GSRopeAMP(inchannel=8, channel=24, num_heads=6,
+                          num_crossattn_blocks=1, num_crossattn_layers=2,
+                          num_selfattn_blocks=1, num_selfattn_layers=2,
+                          num_gs_seed=16, window_size=4)
+    y = model.apply({"params": params},
+                    jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+                    jnp.asarray(scale.numpy()))
+    y = np.asarray(y)
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(y, y_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_hat_parity_small():
+    import torch
+    ref_mod = import_reference_module("utils.hatropeamp")
+    import jax.numpy as jnp
+    from gsasr_tpu.models import HATNOUP
+    from gsasr_tpu.utils.torch_convert import convert_hat
+
+    torch.manual_seed(0)
+    net = ref_mod.HATNOUP_ROPE_AMP(
+        img_size=8, embed_dim=24, depths=(2, 2), num_heads=(6, 6),
+        window_size=4, compress_ratio=3, squeeze_factor=4, conv_scale=0.01,
+        overlap_ratio=0.5, mlp_ratio=2, upsampler="pixelshuffle",
+        drop_path_rate=0.0)
+    net.eval()
+    x = torch.randn(1, 3, 8, 12)
+    with torch.no_grad():
+        y_ref = net(x).numpy()
+
+    params = convert_hat(net.state_dict())
+    model = HATNOUP(embed_dim=24, depths=(2, 2), num_heads=(6, 6),
+                    window_size=4, squeeze_factor=4, mlp_ratio=2)
+    y = model.apply({"params": params},
+                    jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    y = np.asarray(y).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-3, atol=1e-4)
