@@ -48,16 +48,19 @@ def main():
         return sr_forward(enc, dec, enc_params, dec_params, lq, scale,
                           dmax=0.1)
 
+    csum = jax.jit(jnp.sum)
     out = forward(enc_params, dec_params, lq)
-    out.block_until_ready()  # compile + warmup
+    float(csum(out))  # compile + warmup, host-synced
 
     times = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
         out = forward(enc_params, dec_params, lq)
-        out.block_until_ready()
+        float(csum(out))  # hard host sync — block_until_ready alone proved
+                          # unreliable through the remote tunnel
         times.append(time.perf_counter() - t0)
-    dt = float(np.mean(sorted(times)[:3]))  # best-3 mean
+    times = times[2:]  # discard first 2 (inference_paper_benchmark.py:169)
+    dt = float(np.median(times))
 
     ms = dt * 1e3
     print(json.dumps({

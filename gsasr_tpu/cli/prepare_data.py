@@ -1,0 +1,129 @@
+"""Dataset preparation CLI — equivalents of
+`TrainTestGSASR/scripts/data_preparation/`:
+
+- extract-subimages (`extract_subimages.py`): crop training GTs into
+  overlapping sub-images (default 512^2, step 256) with a thread pool.
+- generate-lr (`generate_bicubic_img_use_python_matlab.py` +
+  `..._float_scale.py`): MATLAB-faithful bicubic LR counterparts for
+  integer or float scales.
+- test-crops (`test_time_img_generate.py`): random fixed-size GT crops
+  (720^2 default) for the compute-cost protocol.
+"""
+
+from __future__ import annotations
+
+import argparse
+import concurrent.futures as futures
+import os
+import random
+from pathlib import Path
+
+import numpy as np
+
+
+def _imread(path):
+    import cv2
+    img = cv2.imread(str(path), cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    return img
+
+
+def extract_subimages(src: str, dst: str, crop: int = 512, step: int = 256,
+                      thresh: int = 48, workers: int = 8):
+    os.makedirs(dst, exist_ok=True)
+    import cv2
+
+    def one(name):
+        img = _imread(Path(src) / name)
+        h, w = img.shape[:2]
+        base, ext = os.path.splitext(name)
+        idx = 0
+        ys = list(range(0, h - crop + 1, step))
+        xs = list(range(0, w - crop + 1, step))
+        if h - (ys[-1] + crop) > thresh:
+            ys.append(h - crop)
+        if w - (xs[-1] + crop) > thresh:
+            xs.append(w - crop)
+        for y in ys:
+            for x in xs:
+                idx += 1
+                cv2.imwrite(str(Path(dst) / f"{base}_s{idx:03d}{ext}"),
+                            img[y:y + crop, x:x + crop])
+        return idx
+
+    names = sorted(os.listdir(src))
+    with futures.ThreadPoolExecutor(workers) as pool:
+        total = sum(pool.map(one, names))
+    print(f"wrote {total} sub-images to {dst}")
+
+
+def generate_lr(gt: str, dst: str, scale: float, workers: int = 8):
+    from gsasr_tpu.data.matlab_resize import imresize_new
+
+    os.makedirs(dst, exist_ok=True)
+    import cv2
+
+    def one(name):
+        img = _imread(Path(gt) / name).astype(np.float32) / 255.0
+        lr = imresize_new(img, 1 / scale, 1 / scale)
+        out = (np.clip(lr, 0, 1) * 255.0).round().astype(np.uint8)
+        cv2.imwrite(str(Path(dst) / name), out)
+
+    names = sorted(os.listdir(gt))
+    with futures.ThreadPoolExecutor(workers) as pool:
+        list(pool.map(one, names))
+    print(f"wrote {len(names)} LR images (x{scale}) to {dst}")
+
+
+def test_crops(src: str, dst: str, size: int = 720, seed: int = 0):
+    os.makedirs(dst, exist_ok=True)
+    import cv2
+    rng = random.Random(seed)
+    n = 0
+    for name in sorted(os.listdir(src)):
+        img = _imread(Path(src) / name)
+        h, w = img.shape[:2]
+        if h < size or w < size:
+            continue
+        y = rng.randint(0, h - size)
+        x = rng.randint(0, w - size)
+        cv2.imwrite(str(Path(dst) / name), img[y:y + size, x:x + size])
+        n += 1
+    print(f"wrote {n} {size}^2 crops to {dst}")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("extract-subimages")
+    s.add_argument("--src", required=True)
+    s.add_argument("--dst", required=True)
+    s.add_argument("--crop", type=int, default=512)
+    s.add_argument("--step", type=int, default=256)
+    s.add_argument("--workers", type=int, default=8)
+
+    g = sub.add_parser("generate-lr")
+    g.add_argument("--gt", required=True)
+    g.add_argument("--dst", required=True)
+    g.add_argument("--scale", type=float, required=True)
+    g.add_argument("--workers", type=int, default=8)
+
+    t = sub.add_parser("test-crops")
+    t.add_argument("--src", required=True)
+    t.add_argument("--dst", required=True)
+    t.add_argument("--size", type=int, default=720)
+
+    args = p.parse_args()
+    if args.cmd == "extract-subimages":
+        extract_subimages(args.src, args.dst, args.crop, args.step,
+                          workers=args.workers)
+    elif args.cmd == "generate-lr":
+        generate_lr(args.gt, args.dst, args.scale, args.workers)
+    elif args.cmd == "test-crops":
+        test_crops(args.src, args.dst, args.size)
+
+
+if __name__ == "__main__":
+    main()

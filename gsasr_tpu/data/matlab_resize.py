@@ -99,8 +99,18 @@ def imresize(img: np.ndarray, scale: float, antialiasing: bool = True):
 
 
 def imresize_new(img: np.ndarray, scale_h: float, scale_w: float,
-                 antialiasing: bool = True):
-    """Reference `imresize_new`: round() output sizes, per-axis scales."""
+                 antialiasing: bool = True, use_native: bool = True):
+    """Reference `imresize_new`: round() output sizes, per-axis scales.
+
+    Uses the C++ core (gsasr_tpu/native/resize.cpp) when available —
+    identical math, ~multithreaded; falls back to the numpy path.
+    """
     in_h, in_w = img.shape[:2]
     out_h, out_w = round(in_h * scale_h), round(in_w * scale_w)
+    if use_native:
+        from gsasr_tpu.native import resize_hwc_native
+        out = resize_hwc_native(img, out_h, out_w, scale_h, scale_w,
+                                antialiasing)
+        if out is not None:
+            return out
     return _resize_hw(img, out_h, out_w, scale_h, scale_w, antialiasing)

@@ -82,3 +82,28 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     a = jax.tree_util.tree_leaves(state.params_g)[0]
     b = jax.tree_util.tree_leaves(restored.params_g)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_prefetcher(gt_dir):
+    from gsasr_tpu.data.datasets import ContinuousBicubicDataset, batch_iterator
+    from gsasr_tpu.data.prefetch import DevicePrefetcher
+
+    ds = ContinuousBicubicDataset([str(gt_dir)], lr_size=16)
+    it = batch_iterator(ds, 2)
+    batches = list(DevicePrefetcher(it))
+    assert len(batches) == 2
+    import jax
+    assert isinstance(batches[0]["lq"], jax.Array)
+
+
+def test_stage_timer():
+    import jax.numpy as jnp
+    from gsasr_tpu.utils.profiler import StageTimer
+
+    t = StageTimer()
+    with t.stage("mul") as h:
+        h["out"] = jnp.ones((8, 8)) * 3
+    with t.stage("mul") as h:
+        h["out"] = jnp.ones((8, 8)) * 4
+    rep = t.report()
+    assert "mul" in rep and t.counts["mul"] == 2

@@ -42,3 +42,17 @@ def test_imresize_new_parity(rng, scale_h, scale_w):
     out = imresize_new(img, scale_h, scale_w)
     assert out.shape == out_ref.shape
     np.testing.assert_allclose(out, out_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_native_resize_matches_numpy(rng):
+    from gsasr_tpu.data.matlab_resize import _resize_hw, imresize_new
+    from gsasr_tpu.native import resize_hwc_native
+
+    img = rng.random((37, 41, 3)).astype(np.float32)
+    for s in (0.31, 0.5, 1 / 2.71828):
+        out_h, out_w = round(37 * s), round(41 * s)
+        native = resize_hwc_native(img, out_h, out_w, s, s)
+        if native is None:
+            pytest.skip("no native toolchain")
+        ref = _resize_hw(img, out_h, out_w, s, s, True)
+        np.testing.assert_allclose(native, ref, rtol=1e-4, atol=1e-5)
