@@ -56,10 +56,14 @@ GEOM_COLS = 16
 _PAD = 1e9
 
 # Default tile/chunk geometry: TH*TW pixels per tile, GC Gaussians per chunk.
-_DEF_TH = 16
+# Grid overhead scales as (HW/(TH*TW)) * (S/GC); the fwd optimum maximizes
+# GC * TH * TW against the ~16MB VMEM budget (measured sweep: th=32/gc=1024
+# is ~1.6x faster than th=16/gc=256 at 720^2/518k Gaussians). The backward
+# holds ~8 (gc, th*tw) temporaries so it uses a smaller chunk.
+_DEF_TH = 32
 _DEF_TW = 128
-_DEF_GC = 256
-_DEF_GC_BWD = 128
+_DEF_GC = 1024
+_DEF_GC_BWD = 64
 
 
 def _interpret() -> bool:
