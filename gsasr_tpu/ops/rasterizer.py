@@ -63,7 +63,10 @@ _PAD = 1e9
 _DEF_TH = 32
 _DEF_TW = 128
 _DEF_GC = 1024
-_DEF_GC_BWD = 64
+# backward holds ~8 (th_bwd*tw, gc_bwd) f32 temporaries; gc_bwd is the lane
+# dim in the transposed layout so it must be a multiple of 128.
+_DEF_TH_BWD = 16
+_DEF_GC_BWD = 128
 
 
 def _interpret() -> bool:
@@ -79,23 +82,24 @@ def _cdiv(a: int, b: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _load_cols(geom_ref):
-    sx = geom_ref[:, G_SX:G_SX + 1]
-    sy = geom_ref[:, G_SY:G_SY + 1]
-    rho = geom_ref[:, G_RHO:G_RHO + 1]
-    cx = geom_ref[:, G_CX:G_CX + 1]
-    cy = geom_ref[:, G_CY:G_CY + 1]
-    xlo = geom_ref[:, G_XLO:G_XLO + 1]
-    xhi = geom_ref[:, G_XHI:G_XHI + 1]
-    ylo = geom_ref[:, G_YLO:G_YLO + 1]
-    yhi = geom_ref[:, G_YHI:G_YHI + 1]
+def _load_rows(geom_ref):
+    """Geometry rows as (1, gc) vectors (transposed (16, gc) block)."""
+    sx = geom_ref[G_SX:G_SX + 1, :]
+    sy = geom_ref[G_SY:G_SY + 1, :]
+    rho = geom_ref[G_RHO:G_RHO + 1, :]
+    cx = geom_ref[G_CX:G_CX + 1, :]
+    cy = geom_ref[G_CY:G_CY + 1, :]
+    xlo = geom_ref[G_XLO:G_XLO + 1, :]
+    xhi = geom_ref[G_XHI:G_XHI + 1, :]
+    ylo = geom_ref[G_YLO:G_YLO + 1, :]
+    yhi = geom_ref[G_YHI:G_YHI + 1, :]
     return sx, sy, rho, cx, cy, xlo, xhi, ylo, yhi
 
 
 def _pixel_xy(tile_i, tile_j, th, tw):
-    """Absolute pixel coordinates of the tile's pixels, flat (1, th*tw)."""
+    """Absolute pixel coordinates of the tile's pixels, flat (th*tw, 1)."""
     p = th * tw
-    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
     prow = pidx // tw
     pcol = pidx - prow * tw
     ypix = (tile_i * th + prow).astype(jnp.float32)
@@ -130,9 +134,9 @@ def _fwd_kernel(bbox_ref, geom_ref, col_ref, out_ref, *, th, tw, n_tw, nc):
     @pl.when(_overlap(bbox_ref, k, tile_i, tile_j, th, tw))
     def _():
         xpix, ypix = _pixel_xy(tile_i, tile_j, th, tw)
-        sx, sy, rho, cx, cy, xlo, xhi, ylo, yhi = _load_cols(geom_ref)
+        sx, sy, rho, cx, cy, xlo, xhi, ylo, yhi = _load_rows(geom_ref)
 
-        dx = xpix - cx  # (gc, p)
+        dx = xpix - cx  # (p, gc)
         dy = ypix - cy
 
         inv_sx = 1.0 / sx
@@ -147,10 +151,10 @@ def _fwd_kernel(bbox_ref, geom_ref, col_ref, out_ref, *, th, tw, n_tw, nc):
         mask = (xpix >= xlo) & (xpix <= xhi) & (ypix >= ylo) & (ypix <= yhi)
         v = jnp.where(mask, v, 0.0)
 
-        # (gc, nc) x (gc, p) -> (nc, p) on the MXU.
+        # (p, gc) x (nc, gc) -> (p, nc) on the MXU.
         contrib = jax.lax.dot_general(
-            col_ref[...], v,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            v, col_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         out_ref[0, :, :] += contrib
@@ -172,9 +176,9 @@ def _bwd_kernel(bbox_ref, geom_ref, col_ref, g_ref, dgeom_ref, dcol_ref, *,
     @pl.when(_overlap(bbox_ref, k, tile_i, tile_j, th, tw))
     def _():
         xpix, ypix = _pixel_xy(tile_i, tile_j, th, tw)
-        sx, sy, rho, cx, cy, xlo, xhi, ylo, yhi = _load_cols(geom_ref)
+        sx, sy, rho, cx, cy, xlo, xhi, ylo, yhi = _load_rows(geom_ref)
 
-        dx = xpix - cx
+        dx = xpix - cx  # (p, gc)
         dy = ypix - cy
 
         inv_sx = 1.0 / sx
@@ -190,35 +194,36 @@ def _bwd_kernel(bbox_ref, geom_ref, col_ref, g_ref, dgeom_ref, dcol_ref, *,
         mask = (xpix >= xlo) & (xpix <= xhi) & (ypix >= ylo) & (ypix <= yhi)
         v = jnp.where(mask, v, 0.0)
 
-        gt = g_ref[0, :, :]  # (nc, p) incoming image gradient tile
+        gt = g_ref[0, :, :]  # (p, nc) incoming image gradient tile
 
-        # grad colors: sum_p v * g -> (gc, nc), MXU.
+        # grad colors: sum_p v * g -> (nc, gc), MXU.
         dcol_ref[...] += jax.lax.dot_general(
-            v, gt,
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            gt, v,
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
-        # gw[g, p] = sum_c colors[g, c] * g[c, p]
+        # gw[p, g] = sum_c g[p, c] * colors[c, g]
         gw = jax.lax.dot_general(
-            col_ref[...], gt,
+            gt, col_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        a = gw * v * (2.0 * w1)  # (gc, p)
+        a = gw * v * (2.0 * w1)  # (p, gc)
 
-        # Analytic gradients (gs.cu:139-159), in pixel units.
-        d_cx = jnp.sum(a * (rho * w3 * dy - w2 * dx), axis=1, keepdims=True)
-        d_cy = jnp.sum(a * (rho * w3 * dx - w4 * dy), axis=1, keepdims=True)
-        d_sx = jnp.sum(a * inv_sx * (rho * w3 * dxdy - w2 * dx * dx), axis=1,
+        # Analytic gradients (gs.cu:139-159), in pixel units; reduce over
+        # the pixel (sublane) axis to (1, gc) rows.
+        d_cx = jnp.sum(a * (rho * w3 * dy - w2 * dx), axis=0, keepdims=True)
+        d_cy = jnp.sum(a * (rho * w3 * dx - w4 * dy), axis=0, keepdims=True)
+        d_sx = jnp.sum(a * inv_sx * (rho * w3 * dxdy - w2 * dx * dx), axis=0,
                        keepdims=True)
-        d_sy = jnp.sum(a * inv_sy * (rho * w3 * dxdy - w4 * dy * dy), axis=1,
+        d_sy = jnp.sum(a * inv_sy * (rho * w3 * dxdy - w4 * dy * dy), axis=0,
                        keepdims=True)
-        d_rho = jnp.sum(-a * (2.0 * w1 * rho * quad + w3 * dxdy), axis=1,
+        d_rho = jnp.sum(-a * (2.0 * w1 * rho * quad + w3 * dxdy), axis=0,
                         keepdims=True)
 
-        zeros = jnp.zeros((d_sx.shape[0], GEOM_COLS - 5), jnp.float32)
-        upd = jnp.concatenate([d_sx, d_sy, d_rho, d_cx, d_cy, zeros], axis=1)
+        zeros = jnp.zeros((GEOM_COLS - 5, d_sx.shape[1]), jnp.float32)
+        upd = jnp.concatenate([d_sx, d_sy, d_rho, d_cx, d_cy, zeros], axis=0)
         dgeom_ref[...] += upd
 
 
@@ -227,34 +232,37 @@ def _bwd_kernel(bbox_ref, geom_ref, col_ref, g_ref, dgeom_ref, dcol_ref, *,
 # ---------------------------------------------------------------------------
 
 
-def _chunk_bboxes(geom, gc):
+def _chunk_bboxes(geom_t, gc):
     """Per-chunk cull-box unions, laid out (4, kc): [xlo, xhi, ylo, yhi].
 
     (4, kc) keeps the SMEM buffer's lane padding O(kc) bytes — a (kc, 4)
     layout pads the 4-lane axis to 128 and overflows SMEM for large kc.
     Culling hint only: no gradient.
     """
-    g = jax.lax.stop_gradient(geom)
-    xlo = g[:, G_XLO].reshape(-1, gc)
-    xhi = g[:, G_XHI].reshape(-1, gc)
-    ylo = g[:, G_YLO].reshape(-1, gc)
-    yhi = g[:, G_YHI].reshape(-1, gc)
+    g = jax.lax.stop_gradient(geom_t)
+    xlo = g[G_XLO].reshape(-1, gc)
+    xhi = g[G_XHI].reshape(-1, gc)
+    ylo = g[G_YLO].reshape(-1, gc)
+    yhi = g[G_YHI].reshape(-1, gc)
     return jnp.stack(
         [xlo.min(axis=1), xhi.max(axis=1), ylo.min(axis=1), yhi.max(axis=1)],
         axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "th", "tw", "gc"))
-def _raster_fwd_call(geom, col, *, h, w, th, tw, gc):
-    sp = geom.shape[0]
-    nc = col.shape[1]
+def _raster_fwd_call(geom_t, col_t, *, h, w, th, tw, gc):
+    # geom_t: (16, sp), col_t: (nc, sp) — gaussians along lanes so block
+    # DMAs move O(gc) bytes (an (sp, 16) layout lane-pads 16 -> 128 and
+    # multiplies HBM traffic ~8x).
+    sp = geom_t.shape[1]
+    nc = col_t.shape[0]
     kc = sp // gc
     n_th = _cdiv(h, th)
     n_tw = _cdiv(w, tw)
     nt = n_th * n_tw
     p = th * tw
 
-    bbox = _chunk_bboxes(geom, gc)
+    bbox = _chunk_bboxes(geom_t, gc)
     kernel = functools.partial(_fwd_kernel, th=th, tw=tw, n_tw=n_tw, nc=nc)
 
     out = pl.pallas_call(
@@ -262,26 +270,26 @@ def _raster_fwd_call(geom, col, *, h, w, th, tw, gc):
         grid=(nt, kc),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # bbox (4, kc)
-            pl.BlockSpec((gc, GEOM_COLS), lambda t, k: (k, 0)),
-            pl.BlockSpec((gc, nc), lambda t, k: (k, 0)),
+            pl.BlockSpec((GEOM_COLS, gc), lambda t, k: (0, k)),
+            pl.BlockSpec((nc, gc), lambda t, k: (0, k)),
         ],
-        out_specs=pl.BlockSpec((1, nc, p), lambda t, k: (t, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nt, nc, p), jnp.float32),
+        out_specs=pl.BlockSpec((1, p, nc), lambda t, k: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nt, p, nc), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(bbox, geom, col)
+    )(bbox, geom_t, col_t)
 
-    img = out.reshape(n_th, n_tw, nc, th, tw)
-    img = img.transpose(0, 3, 1, 4, 2).reshape(n_th * th, n_tw * tw, nc)
+    img = out.reshape(n_th, n_tw, th, tw, nc)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(n_th * th, n_tw * tw, nc)
     return img[:h, :w]
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "th", "tw", "gc"))
-def _raster_bwd_call(geom, col, g_img, *, h, w, th, tw, gc):
-    sp = geom.shape[0]
-    nc = col.shape[1]
+def _raster_bwd_call(geom_t, col_t, g_img, *, h, w, th, tw, gc):
+    sp = geom_t.shape[1]
+    nc = col_t.shape[0]
     kc = sp // gc
     n_th = _cdiv(h, th)
     n_tw = _cdiv(w, tw)
@@ -290,10 +298,10 @@ def _raster_bwd_call(geom, col, g_img, *, h, w, th, tw, gc):
 
     gpad = jnp.zeros((n_th * th, n_tw * tw, nc), jnp.float32)
     gpad = gpad.at[:h, :w].set(g_img)
-    gtile = gpad.reshape(n_th, th, n_tw, tw, nc).transpose(0, 2, 4, 1, 3)
-    gtile = gtile.reshape(nt, nc, p)
+    gtile = gpad.reshape(n_th, th, n_tw, tw, nc).transpose(0, 2, 1, 3, 4)
+    gtile = gtile.reshape(nt, p, nc)
 
-    bbox = _chunk_bboxes(geom, gc)
+    bbox = _chunk_bboxes(geom_t, gc)
     kernel = functools.partial(_bwd_kernel, th=th, tw=tw, n_tw=n_tw, nc=nc)
 
     dgeom, dcol = pl.pallas_call(
@@ -301,23 +309,23 @@ def _raster_bwd_call(geom, col, g_img, *, h, w, th, tw, gc):
         grid=(kc, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # bbox (4, kc)
-            pl.BlockSpec((gc, GEOM_COLS), lambda k, t: (k, 0)),
-            pl.BlockSpec((gc, nc), lambda k, t: (k, 0)),
-            pl.BlockSpec((1, nc, p), lambda k, t: (t, 0, 0)),
+            pl.BlockSpec((GEOM_COLS, gc), lambda k, t: (0, k)),
+            pl.BlockSpec((nc, gc), lambda k, t: (0, k)),
+            pl.BlockSpec((1, p, nc), lambda k, t: (t, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((gc, GEOM_COLS), lambda k, t: (k, 0)),
-            pl.BlockSpec((gc, nc), lambda k, t: (k, 0)),
+            pl.BlockSpec((GEOM_COLS, gc), lambda k, t: (0, k)),
+            pl.BlockSpec((nc, gc), lambda k, t: (0, k)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((sp, GEOM_COLS), jnp.float32),
-            jax.ShapeDtypeStruct((sp, nc), jnp.float32),
+            jax.ShapeDtypeStruct((GEOM_COLS, sp), jnp.float32),
+            jax.ShapeDtypeStruct((nc, sp), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(bbox, geom, col, gtile)
+    )(bbox, geom_t, col_t, gtile)
     return dgeom, dcol
 
 
@@ -337,11 +345,11 @@ def _raster_core_fwd(geom, col, h, w, th, tw, gc, gc_bwd):
 
 
 def _raster_core_bwd(h, w, th, tw, gc, gc_bwd, res, g):
-    # The backward holds ~8 (gc, th*tw) f32 temporaries in VMEM concurrently;
-    # a smaller chunk keeps it under the ~16MB budget.
+    # Backward runs with its own smaller tile/chunk so its ~8 concurrent
+    # (th_bwd*tw, gc_bwd) f32 temporaries fit the ~16MB VMEM budget.
     geom, col = res
-    dgeom, dcol = _raster_bwd_call(geom, col, g, h=h, w=w, th=th, tw=tw,
-                                   gc=gc_bwd)
+    dgeom, dcol = _raster_bwd_call(geom, col, g, h=h, w=w, th=_DEF_TH_BWD,
+                                   tw=tw, gc=gc_bwd)
     return dgeom, dcol
 
 
@@ -394,7 +402,8 @@ def gs_render_px(geom, colors, canvas_hw: Sequence[int], *,
         geom = jnp.concatenate([geom, jnp.tile(pad_geom, (pad, 1))], axis=0)
         colors = jnp.pad(colors, ((0, pad), (0, 0)))
 
-    return _raster_core(geom, colors, h, w, th, tw, gc, gc_bwd)
+    # Transpose to gaussians-along-lanes; autodiff maps grads back.
+    return _raster_core(geom.T, colors.T, h, w, th, tw, gc, gc_bwd)
 
 
 def pack_geometry(sigmas, coords, image_size, dmax, y_offset=None,
