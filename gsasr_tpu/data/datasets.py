@@ -63,7 +63,10 @@ class ContinuousBicubicDataset:
     def __init__(self, gt_folders: Sequence[str], scale_list=(1.0, 4.0),
                  lr_size: int = 48, use_hflip: bool = True,
                  use_rot: bool = True, round_mode: str = "ceil",
-                 seed: int = 0):
+                 clamp_scale_to_image: bool = False, seed: int = 0):
+        """clamp_scale_to_image: SA1B-variant behavior — cap the sampled
+        scale so the GT crop fits the source image
+        (`continuous_bicubic_downsample_sa1b_dataset.py:52-57`)."""
         self.paths: List[str] = []
         for folder in gt_folders:
             for name in sorted(os.listdir(folder)):
@@ -73,6 +76,7 @@ class ContinuousBicubicDataset:
         self.use_hflip = use_hflip
         self.use_rot = use_rot
         self.round_mode = round_mode
+        self.clamp_scale_to_image = clamp_scale_to_image
         self.scale_max = self.scale_list[-1]
         self.gt_size_max = math.ceil(self.scale_max * lr_size)
         self._rng = random.Random(seed)
@@ -86,7 +90,10 @@ class ContinuousBicubicDataset:
         h_img, w_img, _ = img_gt.shape
 
         if len(self.scale_list) == 2:
-            scale = rng.uniform(self.scale_list[0], self.scale_list[1])
+            hi = self.scale_list[1]
+            if self.clamp_scale_to_image:
+                hi = min(min(h_img / self.lr_size, w_img / self.lr_size), hi)
+            scale = rng.uniform(self.scale_list[0], hi)
         else:
             scale = rng.choice(self.scale_list)
 

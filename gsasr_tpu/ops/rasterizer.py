@@ -194,19 +194,22 @@ def _bwd_kernel(bbox_ref, geom_ref, col_ref, g_ref, dgeom_ref, dcol_ref, *,
         mask = (xpix >= xlo) & (xpix <= xhi) & (ypix >= ylo) & (ypix <= yhi)
         v = jnp.where(mask, v, 0.0)
 
-        gt = g_ref[0, :, :]  # (p, nc) incoming image gradient tile
+        # (nc, p) gradient tile: nc along sublanes so the per-step DMA is
+        # O(p) bytes (a (p, nc) block lane-pads nc -> 128 and costs ~1MB
+        # per grid step).
+        gt = g_ref[0, :, :]
 
-        # grad colors: sum_p v * g -> (nc, gc), MXU.
+        # grad colors: sum_p g * v -> (nc, gc), MXU.
         dcol_ref[...] += jax.lax.dot_general(
             gt, v,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
-        # gw[p, g] = sum_c g[p, c] * colors[c, g]
+        # gw[p, g] = sum_c g[c, p] * colors[c, g]
         gw = jax.lax.dot_general(
             gt, col_ref[...],
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         a = gw * v * (2.0 * w1)  # (p, gc)
@@ -298,8 +301,8 @@ def _raster_bwd_call(geom_t, col_t, g_img, *, h, w, th, tw, gc):
 
     gpad = jnp.zeros((n_th * th, n_tw * tw, nc), jnp.float32)
     gpad = gpad.at[:h, :w].set(g_img)
-    gtile = gpad.reshape(n_th, th, n_tw, tw, nc).transpose(0, 2, 1, 3, 4)
-    gtile = gtile.reshape(nt, p, nc)
+    gtile = gpad.reshape(n_th, th, n_tw, tw, nc).transpose(0, 2, 4, 1, 3)
+    gtile = gtile.reshape(nt, nc, p)
 
     bbox = _chunk_bboxes(geom_t, gc)
     kernel = functools.partial(_bwd_kernel, th=th, tw=tw, n_tw=n_tw, nc=nc)
@@ -311,7 +314,7 @@ def _raster_bwd_call(geom_t, col_t, g_img, *, h, w, th, tw, gc):
             pl.BlockSpec(memory_space=pltpu.SMEM),  # bbox (4, kc)
             pl.BlockSpec((GEOM_COLS, gc), lambda k, t: (0, k)),
             pl.BlockSpec((nc, gc), lambda k, t: (0, k)),
-            pl.BlockSpec((1, p, nc), lambda k, t: (t, 0, 0)),
+            pl.BlockSpec((1, nc, p), lambda k, t: (t, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((GEOM_COLS, gc), lambda k, t: (0, k)),
