@@ -432,3 +432,60 @@ def convert_hat(sd) -> Dict:
         }
         params[f"layer_{i}"] = layer
     return params
+
+
+def _hat_paper_hab(sd, key):
+    return {
+        "norm1": _ln(sd, f"{key}.norm1"),
+        "norm2": _ln(sd, f"{key}.norm2"),
+        "attn": {
+            "relative_position_bias_table": _np(
+                sd[f"{key}.attn.relative_position_bias_table"]),
+            "qkv": _dense(sd, f"{key}.attn.qkv"),
+            "proj": _dense(sd, f"{key}.attn.proj"),
+        },
+        "conv_block": {
+            "conv1": _conv(sd, f"{key}.conv_block.cab.0"),
+            "conv2": _conv(sd, f"{key}.conv_block.cab.2"),
+            "ca": {
+                "fc1": _conv(sd, f"{key}.conv_block.cab.3.attention.1"),
+                "fc2": _conv(sd, f"{key}.conv_block.cab.3.attention.3"),
+            },
+        },
+        "mlp_fc1": _dense(sd, f"{key}.mlp.fc1"),
+        "mlp_fc2": _dense(sd, f"{key}.mlp.fc2"),
+    }
+
+
+def convert_hat_paper(sd) -> Dict:
+    """`basicsr/archs/hat_arch.py` HATNOUP (paper, rel-pos-bias) -> flax."""
+    n_layers = 1 + max(int(k.split(".")[1]) for k in sd
+                       if k.startswith("layers."))
+    params = {
+        "conv_first": _conv(sd, "conv_first"),
+        "patch_embed_norm": _ln(sd, "patch_embed.norm"),
+        "norm": _ln(sd, "norm"),
+        "conv_after_body": _conv(sd, "conv_after_body"),
+        "conv_before_upsample_0": _conv(sd, "conv_before_upsample.0"),
+    }
+    for i in range(n_layers):
+        rg = f"layers.{i}.residual_group"
+        bk = f"{rg}.blocks."
+        n_blocks = 1 + max(int(k[len(bk):].split(".")[0]) for k in sd
+                           if k.startswith(bk))
+        layer = {"conv": _conv(sd, f"layers.{i}.conv")}
+        for j in range(n_blocks):
+            layer[f"block_{j}"] = _hat_paper_hab(sd, f"{bk}{j}")
+        oc = f"{rg}.overlap_attn"
+        layer["overlap_attn"] = {
+            "norm1": _ln(sd, f"{oc}.norm1"),
+            "norm2": _ln(sd, f"{oc}.norm2"),
+            "qkv": _dense(sd, f"{oc}.qkv"),
+            "proj": _dense(sd, f"{oc}.proj"),
+            "relative_position_bias_table": _np(
+                sd[f"{oc}.relative_position_bias_table"]),
+            "mlp_fc1": _dense(sd, f"{oc}.mlp.fc1"),
+            "mlp_fc2": _dense(sd, f"{oc}.mlp.fc2"),
+        }
+        params[f"layer_{i}"] = layer
+    return params

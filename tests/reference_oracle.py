@@ -57,3 +57,49 @@ def import_reference_file(relpath: str, name: str):
     sys.modules[spec.name] = mod
     spec.loader.exec_module(mod)
     return mod
+
+
+def import_hat_paper_arch():
+    """Load `TrainTestGSASR/basicsr/archs/hat_arch.py` with minimal stubs
+    for the basicsr package machinery (registry decorator, arch_util)."""
+    _stub_torchvision()
+    import types
+
+    if "refonly_hat_arch" in sys.modules:
+        return sys.modules["refonly_hat_arch"]
+
+    # minimal registry + arch_util stubs
+    reg_mod = types.ModuleType("basicsr.utils.registry")
+
+    class _Reg:
+        def register(self, obj=None):
+            if obj is None:
+                return lambda o: o
+            return obj
+
+    reg_mod.ARCH_REGISTRY = _Reg()
+
+    util_mod = types.ModuleType("basicsr.archs.arch_util")
+    import collections.abc
+    from itertools import repeat
+
+    def _to_2tuple(x):
+        if isinstance(x, collections.abc.Iterable):
+            return tuple(x)
+        return tuple(repeat(x, 2))
+
+    hat_rope = import_reference_module("utils.hatropeamp")
+    util_mod.to_2tuple = _to_2tuple
+    util_mod.trunc_normal_ = hat_rope.trunc_normal_
+
+    pkg = types.ModuleType("basicsr")
+    utils_pkg = types.ModuleType("basicsr.utils")
+    archs_pkg = types.ModuleType("basicsr.archs")
+    for name, mod in [("basicsr", pkg), ("basicsr.utils", utils_pkg),
+                      ("basicsr.utils.registry", reg_mod),
+                      ("basicsr.archs", archs_pkg),
+                      ("basicsr.archs.arch_util", util_mod)]:
+        sys.modules.setdefault(name, mod)
+
+    return import_reference_file(
+        "TrainTestGSASR/basicsr/archs/hat_arch.py", "hat_arch")

@@ -205,3 +205,31 @@ def test_hat_parity_small():
                     jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
     y = np.asarray(y).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(y, y_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_hat_paper_parity_small():
+    import torch
+    from tests.reference_oracle import import_hat_paper_arch
+    ref_mod = import_hat_paper_arch()
+    import jax.numpy as jnp
+    from gsasr_tpu.models.hat_paper import HATNOUPPaper
+    from gsasr_tpu.utils.torch_convert import convert_hat_paper
+
+    torch.manual_seed(0)
+    net = ref_mod.HATNOUP(
+        img_size=8, embed_dim=24, depths=(2, 2), num_heads=(6, 6),
+        window_size=4, compress_ratio=3, squeeze_factor=4, conv_scale=0.01,
+        overlap_ratio=0.5, mlp_ratio=2, upsampler="pixelshuffle",
+        drop_path_rate=0.0)
+    net.eval()
+    x = torch.randn(1, 3, 8, 12)
+    with torch.no_grad():
+        y_ref = net(x).numpy()
+
+    params = convert_hat_paper(net.state_dict())
+    model = HATNOUPPaper(embed_dim=24, depths=(2, 2), num_heads=(6, 6),
+                         window_size=4, squeeze_factor=4, mlp_ratio=2)
+    y = model.apply({"params": params},
+                    jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    y = np.asarray(y).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-3, atol=1e-4)
