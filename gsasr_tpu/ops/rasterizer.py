@@ -65,8 +65,8 @@ _DEF_TW = 128
 _DEF_GC = 1024
 # backward holds ~8 (th_bwd*tw, gc_bwd) f32 temporaries; gc_bwd is the lane
 # dim in the transposed layout so it must be a multiple of 128.
-_DEF_TH_BWD = 16
-_DEF_GC_BWD = 128
+_DEF_TH_BWD = 8
+_DEF_GC_BWD = 512
 
 
 def _interpret() -> bool:
