@@ -230,6 +230,48 @@ def _bwd_kernel(bbox_ref, geom_ref, col_ref, g_ref, dgeom_ref, dcol_ref, *,
         dgeom_ref[...] += upd
 
 
+def _fwd_kernel_windowed(ranges_ref, bbox_ref, geom_ref, col_ref, out_ref,
+                         *, th, tw, n_tw, nc, kc):
+    """Forward over a per-tile chunk window: grid (nt, W); the k-th step of
+    tile t processes chunk `ranges[0, t] + k`, masked beyond `ranges[1, t]`.
+    `ranges` is a scalar-prefetch arg so block index_maps can use it."""
+    t = pl.program_id(0)
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    tile_i = t // n_tw
+    tile_j = t - tile_i * n_tw
+    chunk = jnp.minimum(ranges_ref[0, t] + k, kc - 1)
+    valid = k < ranges_ref[1, t]
+
+    @pl.when(valid & _overlap(bbox_ref, chunk, tile_i, tile_j, th, tw))
+    def _():
+        xpix, ypix = _pixel_xy(tile_i, tile_j, th, tw)
+        sx, sy, rho, cx, cy, xlo, xhi, ylo, yhi = _load_rows(geom_ref)
+
+        dx = xpix - cx
+        dy = ypix - cy
+        inv_sx = 1.0 / sx
+        inv_sy = 1.0 / sy
+        w2 = inv_sx * inv_sx
+        w3 = inv_sx * inv_sy
+        w4 = inv_sy * inv_sy
+        w1 = -0.5 / (1.0 - rho * rho)
+        quad = w2 * (dx * dx) - (2.0 * rho * w3) * (dx * dy) + w4 * (dy * dy)
+        v = jnp.exp(w1 * quad)
+        mask = (xpix >= xlo) & (xpix <= xhi) & (ypix >= ylo) & (ypix <= yhi)
+        v = jnp.where(mask, v, 0.0)
+        contrib = jax.lax.dot_general(
+            v, col_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, :, :] += contrib
+
+
 # ---------------------------------------------------------------------------
 # Pallas call wrappers
 # ---------------------------------------------------------------------------
@@ -252,11 +294,94 @@ def _chunk_bboxes(geom_t, gc):
         axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "th", "tw", "gc"))
-def _raster_fwd_call(geom_t, col_t, *, h, w, th, tw, gc):
-    # geom_t: (16, sp), col_t: (nc, sp) — gaussians along lanes so block
-    # DMAs move O(gc) bytes (an (sp, 16) layout lane-pads 16 -> 128 and
-    # multiplies HBM traffic ~8x).
+def _tile_chunk_ranges(bbox, h, th, n_th, n_tw, window):
+    """Per-tile [start, count] over chunks whose y-interval can overlap the
+    tile's rows. A correct superset for any chunk order (the kernel still
+    bbox-tests each chunk); `count` is clamped to `window` only AFTER the
+    overflow check in the caller."""
+    kc = bbox.shape[1]
+    tile_ids = jnp.arange(n_th)
+    y0 = (tile_ids * th).astype(jnp.float32)
+    y1 = y0 + (th - 1)
+    # overlap_y[k, ti] for row-tiles; all tiles in a row share the range
+    ylo = bbox[2][:, None]
+    yhi = bbox[3][:, None]
+    ov = (ylo <= y1[None, :]) & (yhi >= y0[None, :])  # (kc, n_th)
+    first = jnp.argmax(ov, axis=0)
+    last = kc - 1 - jnp.argmax(ov[::-1], axis=0)
+    any_ov = jnp.any(ov, axis=0)
+    start = jnp.where(any_ov, first, 0).astype(jnp.int32)
+    cnt = jnp.where(any_ov, last - first + 1, 0).astype(jnp.int32)
+    # broadcast per row-tile to all tiles in the row: (nt,)
+    start = jnp.repeat(start, n_tw)
+    cnt = jnp.repeat(cnt, n_tw)
+    return start, cnt
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "th", "tw", "gc", "window"))
+def _raster_fwd_call_windowed(geom_t, col_t, *, h, w, th, tw, gc, window):
+    """Forward with per-tile chunk windows (scalar prefetch). Falls back to
+    the dense grid when any tile's candidate range exceeds `window`."""
+    sp = geom_t.shape[1]
+    nc = col_t.shape[0]
+    kc = sp // gc
+    n_th = _cdiv(h, th)
+    n_tw = _cdiv(w, tw)
+    nt = n_th * n_tw
+    p = th * tw
+
+    bbox = _chunk_bboxes(geom_t, gc)
+    start, cnt = _tile_chunk_ranges(bbox, h, th, n_th, n_tw, window)
+    overflow = jnp.any(cnt > window)
+    ranges = jnp.stack([start, jnp.minimum(cnt, window)], axis=0)
+
+    kernel = functools.partial(_fwd_kernel_windowed, th=th, tw=tw,
+                               n_tw=n_tw, nc=nc, kc=kc)
+
+    def windowed(args):
+        geom_t, col_t, bbox, ranges = args
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nt, window),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # bbox (4, kc)
+                pl.BlockSpec(
+                    (GEOM_COLS, gc),
+                    lambda t, k, ranges_ref: (
+                        0, jnp.minimum(ranges_ref[0, t] + k, kc - 1))),
+                pl.BlockSpec(
+                    (nc, gc),
+                    lambda t, k, ranges_ref: (
+                        0, jnp.minimum(ranges_ref[0, t] + k, kc - 1))),
+            ],
+            out_specs=pl.BlockSpec((1, p, nc), lambda t, k, ranges_ref:
+                                   (t, 0, 0)),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nt, p, nc), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            interpret=_interpret(),
+        )(ranges, bbox, geom_t, col_t)
+
+    def dense(args):
+        geom_t, col_t, _, _ = args
+        return _raster_fwd_tiles(geom_t, col_t, h=h, w=w, th=th, tw=tw,
+                                 gc=gc)
+
+    out = jax.lax.cond(overflow, dense, windowed,
+                       (geom_t, col_t, bbox, ranges))
+    img = out.reshape(n_th, n_tw, th, tw, nc)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(n_th * th, n_tw * tw, nc)
+    return img[:h, :w]
+
+
+def _raster_fwd_tiles(geom_t, col_t, *, h, w, th, tw, gc):
+    """Dense-grid forward returning raw (nt, p, nc) tiles."""
     sp = geom_t.shape[1]
     nc = col_t.shape[0]
     kc = sp // gc
@@ -267,8 +392,7 @@ def _raster_fwd_call(geom_t, col_t, *, h, w, th, tw, gc):
 
     bbox = _chunk_bboxes(geom_t, gc)
     kernel = functools.partial(_fwd_kernel, th=th, tw=tw, n_tw=n_tw, nc=nc)
-
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(nt, kc),
         in_specs=[
@@ -284,6 +408,21 @@ def _raster_fwd_call(geom_t, col_t, *, h, w, th, tw, gc):
         interpret=_interpret(),
     )(bbox, geom_t, col_t)
 
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "th", "tw", "gc"))
+def _raster_fwd_call(geom_t, col_t, *, h, w, th, tw, gc):
+    # geom_t: (16, sp), col_t: (nc, sp) — gaussians along lanes so block
+    # DMAs move O(gc) bytes (an (sp, 16) layout lane-pads 16 -> 128 and
+    # multiplies HBM traffic ~8x).
+    sp = geom_t.shape[1]
+    nc = col_t.shape[0]
+    kc = sp // gc
+    n_th = _cdiv(h, th)
+    n_tw = _cdiv(w, tw)
+    nt = n_th * n_tw
+    p = th * tw
+
+    out = _raster_fwd_tiles(geom_t, col_t, h=h, w=w, th=th, tw=tw, gc=gc)
     img = out.reshape(n_th, n_tw, th, tw, nc)
     img = img.transpose(0, 2, 1, 3, 4).reshape(n_th * th, n_tw * tw, nc)
     return img[:h, :w]
@@ -337,13 +476,25 @@ def _raster_bwd_call(geom_t, col_t, g_img, *, h, w, th, tw, gc):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
-def _raster_core(geom, col, h, w, th, tw, gc, gc_bwd):
+def _fwd_dispatch(geom, col, h, w, th, tw, gc):
+    """Pick the windowed forward when the chunk count is large enough for
+    per-tile ranges to pay off; the windowed path falls back to the dense
+    grid at runtime if any tile's range exceeds the window."""
+    kc = geom.shape[1] // gc
+    if kc >= 16:
+        window = int(min(kc, max(64, -(-kc // 4))))
+        return _raster_fwd_call_windowed(geom, col, h=h, w=w, th=th, tw=tw,
+                                         gc=gc, window=window)
     return _raster_fwd_call(geom, col, h=h, w=w, th=th, tw=tw, gc=gc)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _raster_core(geom, col, h, w, th, tw, gc, gc_bwd):
+    return _fwd_dispatch(geom, col, h, w, th, tw, gc)
+
+
 def _raster_core_fwd(geom, col, h, w, th, tw, gc, gc_bwd):
-    out = _raster_fwd_call(geom, col, h=h, w=w, th=th, tw=tw, gc=gc)
+    out = _fwd_dispatch(geom, col, h, w, th, tw, gc)
     return out, (geom, col)
 
 

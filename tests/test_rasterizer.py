@@ -150,3 +150,33 @@ def test_px_api_traced_effective_size(rng):
     img = np.asarray(render_eff(jnp.float32(20), jnp.float32(20)))
     solo = np.asarray(gs_render(sigmas, coords, colors, (20, 20), 0.5))
     np.testing.assert_allclose(img[:20, :20], solo, rtol=1e-4, atol=1e-5)
+
+
+def test_windowed_forward_matches(rng):
+    """Enough chunks to trigger the windowed (scalar-prefetch) forward; the
+    sorted path gets narrow per-tile ranges, the unsorted path typically
+    overflows the window and takes the dense fallback — both must agree
+    with the dense reference."""
+    s = 10000
+    sigmas = 0.2 * rng.random((s, 3), dtype=np.float32) + 1e-2
+    sigmas[:, 2] = 0.0
+    coords = 2 * rng.random((s, 2), dtype=np.float32) - 1.0
+    colors = rng.random((s, 3), dtype=np.float32)
+    a = [jnp.asarray(x) for x in (sigmas, coords, colors)]
+    size = (64, 256)
+    ref = np.asarray(gs_render_reference(*a, size, 0.2))
+    outs = []
+    for srt in (True, False):
+        out = np.asarray(gs_render(*a, size, 0.2, spatial_sort=srt,
+                                   gc=128, th=8))
+        # vs the dense oracle: at this density a handful of Gaussians sit
+        # within an f32 ulp of the |dx| == dmax cut, where the normalized
+        # (oracle) and pixel-unit (kernel) comparisons may round the tie
+        # differently — each flip changes a pixel by at most one kernel
+        # contribution (< 1.0). Require near-exactness elsewhere.
+        rel = np.abs(out - ref) / (np.abs(ref) + 1.0)
+        assert (rel < 1e-3).mean() > 0.995, f"sort={srt}: {(rel >= 1e-3).mean()}"
+        assert np.abs(out - ref).max() < 1.0, f"sort={srt}"
+        outs.append(out)
+    # windowed (sorted) vs dense-fallback (unsorted) must agree to fp noise
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-4, atol=1e-4)
