@@ -131,9 +131,11 @@ def render_gaussians(
 def render_batch(sr_size, gs_parameters, scales, **kw):
     """vmap'd batched rendering.
 
-    The reference loops the batch in Python (`gsasr_model.py:191`); on TPU we
-    vmap over the batch with a shared static sr_size (samples are padded to
-    gt_size_max by the data pipeline, matching the reference's collation).
+    The reference loops the batch in Python (`gsasr_model.py:191`); here we
+    vmap over the batch with a shared static sr_size. NOTE: vmap over the
+    pallas rasterizer compiles poorly through the axon remote-compile path —
+    prefer `render_training_batch` (canvas slot stacking) on hardware; this
+    helper is for CPU/testing and small batches.
 
     Args:
       gs_parameters: (B, N, 9); scales: (B,).

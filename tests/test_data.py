@@ -107,3 +107,40 @@ def test_stage_timer():
         h["out"] = jnp.ones((8, 8)) * 4
     rep = t.report()
     assert "mul" in rep and t.counts["mul"] == 2
+
+
+def test_paired_paths_and_file_client(gt_dir):
+    from gsasr_tpu.data.data_util import paired_paths_from_folder
+    from gsasr_tpu.utils.file_client import FileClient, imfrombytes
+
+    paths = paired_paths_from_folder([str(gt_dir), str(gt_dir)],
+                                     ["lq", "gt"])
+    assert len(paths) == 4 and "lq_path" in paths[0]
+    fc = FileClient("disk")
+    img = imfrombytes(fc.get(paths[0]["gt_path"]), float32=True)
+    assert img.ndim == 3 and img.dtype == np.float32
+
+
+def test_config_loader(tmp_path):
+    import yaml
+    from gsasr_tpu.config import (apply_overrides, build_networks,
+                                  build_train_config, load_options)
+
+    cfg = {
+        "name": "t", "datasets": {"train": {"lr_size": 12,
+                                            "scale_list": [1, 2]}},
+        "network_g": {"type": "EDSRNOUP", "num_feat": 8, "num_block": 1},
+        "network_fea2gs": {"type": "Fea2GS", "channel": 12,
+                           "num_gs_seed": 16, "window_size": 4},
+        "train": {"optim_g": {"lr": 1e-3}, "total_iter": 10,
+                  "scheduler": {"milestones": [5]}},
+    }
+    p = tmp_path / "c.yml"
+    p.write_text(yaml.safe_dump(cfg))
+    opt = load_options(p)
+    opt = apply_overrides(opt, ["train.total_iter=20"])
+    assert opt["train"]["total_iter"] == 20
+    enc, dec = build_networks(opt)
+    assert enc.num_feat == 8 and dec.channel == 12
+    tc = build_train_config(opt)
+    assert tc.total_iter == 20 and tc.canvas_hw == (24, 24)
