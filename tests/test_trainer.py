@@ -94,3 +94,28 @@ def test_masked_loss_matches_cropped(rng):
         np.abs(np.asarray(pred[0, :10, :12]) - np.asarray(tgt[0, :10, :12])).mean()
         + np.abs(np.asarray(pred[1]) - np.asarray(tgt[1])).mean())
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_train_step_bf16_amp_family(rng):
+    """GSASRAMPModel equivalent: bf16 compute dtype modules, fp32 params,
+    no GradScaler (TPU bf16 keeps fp32 exponent range)."""
+    import jax
+    import jax.numpy as jnp
+    from gsasr_tpu.models import EDSRNOUP, Fea2GSRopeAMP
+    from gsasr_tpu.train import TrainConfig, Trainer
+
+    enc = EDSRNOUP(num_feat=16, num_block=1, dtype=jnp.bfloat16)
+    # head_dim must be >= 4 for the RoPE frequency construction
+    dec = Fea2GSRopeAMP(inchannel=16, channel=24, num_heads=6,
+                        num_crossattn_blocks=1, num_crossattn_layers=1,
+                        num_selfattn_blocks=1, num_selfattn_layers=1,
+                        num_gs_seed=16, window_size=4, dtype=jnp.bfloat16)
+    cfg = TrainConfig(canvas_hw=(32, 32), warmup_iter=-1, milestones=(100,))
+    tr = Trainer(enc, dec, cfg)
+    state = tr.init(jax.random.PRNGKey(0), (8, 8, 8, 3))
+    # params stay fp32
+    leaf = jax.tree_util.tree_leaves(state.params_d)[0]
+    assert leaf.dtype == jnp.float32
+    b = _tiny_batch(rng, 8)  # batch must divide the 8-device mesh
+    state, m = tr.step(state, b)
+    assert np.isfinite(float(m["loss"]))
