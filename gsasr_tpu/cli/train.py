@@ -73,6 +73,44 @@ def main():
     total = cfg.total_iter
     save_freq = opt.get("logger", {}).get("save_checkpoint_freq", 5000)
     print_freq = opt.get("logger", {}).get("print_freq", 100)
+    val_opt = next((v for k, v in opt.get("datasets", {}).items()
+                    if k.startswith("val")), None)
+    val_freq = opt.get("val", {}).get("val_freq", 10000)
+
+    def run_validation(it, state):
+        """In-training validation (reference `dist_validation`, rank 0,
+        EMA weights, PSNR/SSIM protocol)."""
+        import math as _math
+
+        import numpy as np
+        from gsasr_tpu.data.datasets import PairedImageDataset
+        from gsasr_tpu.metrics import (calculate_psnr, calculate_ssim,
+                                       crop_border_for_scale)
+        from gsasr_tpu.model import sr_forward
+
+        ds = PairedImageDataset(val_opt["dataroot_gt"],
+                                val_opt["dataroot_lq"],
+                                val_opt.get("scale", 4))
+        crop = crop_border_for_scale(ds.scale)
+        psnrs, ssims = [], []
+        for i in range(min(len(ds), val_opt.get("max_images", 10))):
+            item = ds[i]
+            lq = jnp.asarray(item["lq"])[None]
+            want = (item["gt"].shape[0], item["gt"].shape[1])
+            out = np.asarray(sr_forward(
+                enc, dec, state.ema_g, state.ema_d, lq, ds.scale,
+                sr_size=want, dmax=0.1))[0]
+            sr255 = np.clip(out, 0, 1) * 255
+            gt255 = item["gt"] * 255
+            psnrs.append(calculate_psnr(sr255, gt255, crop,
+                                        test_y_channel=True,
+                                        channel_order="rgb"))
+            ssims.append(calculate_ssim(sr255, gt255, crop,
+                                        test_y_channel=True,
+                                        channel_order="rgb"))
+        print(f"VAL @ iter {it}: psnr {np.mean(psnrs):.4f} "
+              f"ssim {np.mean(ssims):.5f} over {len(psnrs)} images",
+              flush=True)
 
     it = start_iter
     epoch = 0
@@ -97,6 +135,8 @@ def main():
                       flush=True)
             if it % save_freq == 0 and host == 0:
                 save_checkpoint(ckpt_dir, it, state)
+            if val_opt is not None and it % val_freq == 0 and host == 0:
+                run_validation(it, state)
             if it >= total:
                 break
         epoch += 1
