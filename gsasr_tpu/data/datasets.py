@@ -63,10 +63,15 @@ class ContinuousBicubicDataset:
     def __init__(self, gt_folders: Sequence[str], scale_list=(1.0, 4.0),
                  lr_size: int = 48, use_hflip: bool = True,
                  use_rot: bool = True, round_mode: str = "ceil",
-                 clamp_scale_to_image: bool = False, seed: int = 0):
+                 clamp_scale_to_image: bool = False, sample_size: int = 0,
+                 seed: int = 0):
         """clamp_scale_to_image: SA1B-variant behavior — cap the sampled
         scale so the GT crop fits the source image
-        (`continuous_bicubic_downsample_sa1b_dataset.py:52-57`)."""
+        (`continuous_bicubic_downsample_sa1b_dataset.py:52-57`).
+        sample_size > 0 switches to sparse supervision: instead of a padded
+        GT canvas, each sample returns `sample_coords` (K, 2) pixel indices
+        and `gt_samples` (K, 3) colors
+        (`continuous_bicubic_downsample_dataset.py:87-95`)."""
         self.paths: List[str] = []
         for folder in gt_folders:
             for name in sorted(os.listdir(folder)):
@@ -77,6 +82,7 @@ class ContinuousBicubicDataset:
         self.use_rot = use_rot
         self.round_mode = round_mode
         self.clamp_scale_to_image = clamp_scale_to_image
+        self.sample_size = sample_size
         self.scale_max = self.scale_list[-1]
         self.gt_size_max = math.ceil(self.scale_max * lr_size)
         self._rng = random.Random(seed)
@@ -115,6 +121,20 @@ class ContinuousBicubicDataset:
 
         crop_gt, crop_lr = augment_pair(
             [crop_gt, crop_lr], self.use_hflip, self.use_rot, rng)
+
+        if self.sample_size > 0:
+            g = np.random.default_rng(rng.randrange(1 << 31))
+            ys = g.integers(0, gt_h, self.sample_size)
+            xs = g.integers(0, gt_w, self.sample_size)
+            return {
+                "lq": crop_lr.astype(np.float32),
+                "sample_coords": np.stack([ys, xs], -1).astype(np.int32),
+                "gt_samples": crop_gt[ys, xs].astype(np.float32),
+                "scale": np.float32(scale),
+                "scale_modify": np.float32([scale_modify_h, scale_modify_w]),
+                "gt_h": np.int32(gt_h),
+                "gt_w": np.int32(gt_w),
+            }
 
         pad_h = self.gt_size_max - gt_h
         pad_w = self.gt_size_max - gt_w

@@ -128,6 +128,14 @@ class Trainer:
             gs, batch["scale"], batch["gt_h"], batch["gt_w"], cfg.canvas_hw,
             default_step_size=cfg.default_step_size, if_dmax=cfg.if_dmax,
             dmax_mode=cfg.dmax_mode, dmax=cfg.dmax)
+        if "sample_coords" in batch:
+            # sparse supervision (`gsasr_model.py` sample_coords path):
+            # gather K pixels per sample from the rendered canvas.
+            coords = batch["sample_coords"]  # (B, K, 2) as (y, x)
+            sampled = jax.vmap(
+                lambda img, c: img[c[:, 0], c[:, 1], :])(out, coords)
+            l_pix = jnp.abs(sampled - batch["gt_samples"]).mean()
+            return l_pix, {"l_pix": l_pix}
         mask = size_mask(batch["gt_h"], batch["gt_w"], *cfg.canvas_hw)
         l_pix = masked_l1(out, batch["gt"], mask)
         return l_pix, {"l_pix": l_pix}

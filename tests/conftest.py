@@ -18,6 +18,15 @@ if os.environ.get("GSASR_TEST_TPU") != "1":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+else:
+    # On hardware, force full-precision matmuls so the dense reference
+    # renderer (einsum) meets the parity tolerances.
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    from gsasr_tpu.utils.env import enable_compilation_cache
+
+    enable_compilation_cache()
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -119,3 +119,28 @@ def test_train_step_bf16_amp_family(rng):
     b = _tiny_batch(rng, 8)  # batch must divide the 8-device mesh
     state, m = tr.step(state, b)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_sparse_sample_coords_training(rng):
+    """Sparse supervision path: loss on K sampled pixels per sample."""
+    import jax
+    import jax.numpy as jnp
+    enc, dec, cfg = _tiny_setup()
+    from gsasr_tpu.train import Trainer
+    tr = Trainer(enc, dec, cfg)
+    state = tr.init(jax.random.PRNGKey(0), (8, 8, 8, 3))
+
+    scales = 2.0 + rng.random(8).astype(np.float32)
+    gh = np.ceil(scales * 8).astype(np.int32)
+    k = 16
+    coords = np.stack([rng.integers(0, 16, (8, k)),
+                       rng.integers(0, 16, (8, k))], -1).astype(np.int32)
+    batch = {
+        "lq": jnp.asarray(rng.random((8, 8, 8, 3), dtype=np.float32)),
+        "sample_coords": jnp.asarray(coords),
+        "gt_samples": jnp.asarray(rng.random((8, k, 3), dtype=np.float32)),
+        "scale": jnp.asarray(scales),
+        "gt_h": jnp.asarray(gh), "gt_w": jnp.asarray(gh),
+    }
+    state, m = tr.step(state, batch)
+    assert np.isfinite(float(m["loss"]))
