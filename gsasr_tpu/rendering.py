@@ -37,6 +37,38 @@ from gsasr_tpu.ops.reference import gs_render_reference
 DEFAULT_STEP_SIZE = 1.2
 
 
+@functools.lru_cache(maxsize=64)
+def _static_lattice_perm(n: int, sr_h: int, sr_w: int, th: int = 32,
+                         tw: int = 128):
+    """Static tile-coherent permutation of decoder outputs.
+
+    Decoder Gaussian i anchors at lattice cell (i // lat_w, i % lat_w)
+    (`fea2gs.py:553-563` reference points are row-major); its center lands
+    near pixel ((row+.5)/lat_h*sr_h, (col+.5)/lat_w*sr_w). Sorting by the
+    rasterizer tile id of that anchor is therefore a *static* permutation —
+    it gives the same chunk-locality as the runtime argsort (which costs an
+    O(S log S) device sort per render) at zero runtime cost. Per-Gaussian
+    cull boxes keep correctness exact even for centers that stray from
+    their anchors.
+
+    n is the total lattice size (lat_h * lat_w assumed square when only n
+    is known); callers pass exact lat dims via n = lat_h * lat_w and the
+    sr canvas size.
+    """
+    import math as _math
+
+    import numpy as _np
+
+    lat = int(_math.isqrt(n))
+    assert lat * lat == n, "expected a square lattice"
+    rows = _np.arange(n) // lat
+    cols = _np.arange(n) % lat
+    py = ((rows + 0.5) / lat * sr_h).astype(_np.int64)
+    px = ((cols + 0.5) / lat * sr_w).astype(_np.int64)
+    key = (py // th) * (-(-sr_w // tw)) + (px // tw)
+    return _np.argsort(key, kind="stable")
+
+
 def gs_activations(gs_parameters):
     """Raw (N, 9) decoder outputs -> physical Gaussian parameters.
 
@@ -109,6 +141,13 @@ def render_gaussians(
     """
     sr_size = (int(sr_size[0]), int(sr_size[1]))
     step_size = default_step_size / scale
+    import math
+
+    n = gs_parameters.shape[0]
+    use_static_perm = use_pallas and math.isqrt(n) ** 2 == n
+    if use_static_perm:
+        perm = _static_lattice_perm(n, sr_size[0], sr_size[1])
+        gs_parameters = jnp.take(gs_parameters, jnp.asarray(perm), axis=0)
     sigma_x, sigma_y, rho, coords, colors = gs_activations(gs_parameters)
     sigmas, kcoords = to_kernel_units(sigma_x, sigma_y, rho, coords, sr_size,
                                       step_size)
@@ -118,11 +157,11 @@ def render_gaussians(
         final_dmax = 100.0  # effectively uncullled (gs_cuda path)
 
     if use_pallas:
-        # NOTE: decoder outputs are lattice-row-major, but a full lattice row
-        # is wider than a rasterizer tile, so without the tile-id sort chunk
-        # bboxes span the full image width and x-culling is lost (measured
-        # +27% e2e). Keep the sort.
-        img = gs_render(sigmas, kcoords, colors, sr_size, final_dmax)
+        # Tile-coherence comes from the static lattice permutation above, so
+        # the runtime argsort is skipped; non-square inputs fall back to the
+        # device sort.
+        img = gs_render(sigmas, kcoords, colors, sr_size, final_dmax,
+                        spatial_sort=not use_static_perm)
     else:
         img = gs_render_reference(sigmas, kcoords, colors, sr_size, final_dmax)
     img = img.transpose(2, 0, 1)  # (3, H, W)
