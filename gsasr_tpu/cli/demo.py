@@ -12,8 +12,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import io
-import json
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
 _FORM = b"""<!doctype html><title>GSASR-TPU demo</title>

@@ -13,7 +13,6 @@ Protocol: PSNR/SSIM on the Y channel, crop_border = scale if <= 8 else 8
 from __future__ import annotations
 
 import argparse
-import math
 import os
 import time
 

@@ -80,8 +80,6 @@ def main():
     def run_validation(it, state):
         """In-training validation (reference `dist_validation`, rank 0,
         EMA weights, PSNR/SSIM protocol)."""
-        import math as _math
-
         import numpy as np
         from gsasr_tpu.data.datasets import PairedImageDataset
         from gsasr_tpu.metrics import (calculate_psnr, calculate_ssim,

@@ -10,8 +10,7 @@ Parses the reference's BasicSR-style YAML options
 from __future__ import annotations
 
 import dataclasses
-from pathlib import Path
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import yaml
 

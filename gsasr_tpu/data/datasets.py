@@ -21,8 +21,7 @@ from __future__ import annotations
 import math
 import os
 import random
-from pathlib import Path
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Sequence
 
 import numpy as np
 

@@ -11,8 +11,7 @@ TPU-first conventions used across all models:
 
 from __future__ import annotations
 
-import math
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable
 
 import flax.linen as nn
 import jax

@@ -28,7 +28,7 @@ TPU-first notes:
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -18,7 +18,6 @@ Reference quirks preserved:
 
 from __future__ import annotations
 
-import math
 from typing import Any, Tuple
 
 import flax.linen as nn

@@ -10,7 +10,6 @@ rectangular ws^2 x ows^2 bias table indexed by `calculate_rpi_oca`
 
 from __future__ import annotations
 
-import math
 from typing import Any, Tuple
 
 import flax.linen as nn

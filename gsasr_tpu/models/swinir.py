@@ -19,8 +19,7 @@ evaluates/infers deterministically; training support can thread an rng.
 
 from __future__ import annotations
 
-import math
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

@@ -8,7 +8,6 @@ None when no toolchain is available and callers fall back to numpy.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 

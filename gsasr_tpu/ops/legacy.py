@@ -16,8 +16,6 @@ gather/conv fusion handles these shapes well on TPU).
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -21,8 +21,6 @@ loops tiles in Python, :127-151). Host-side pasting is numpy.
 from __future__ import annotations
 
 import math
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -17,11 +17,9 @@ gsasr_tpu.utils.torch_convert mapping) for parity evaluation.
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Any, Dict, Optional
 
-import jax
 import numpy as np
 
 

@@ -8,7 +8,6 @@ package (absent in this image). Memcached is intentionally unsupported.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional
 
 
 class DiskBackend:
