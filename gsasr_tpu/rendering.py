@@ -119,6 +119,7 @@ def render_gaussians(
     dmax: float = 25.0,
     use_pallas: bool = True,
     sample_coords=None,
+    static_perm: bool = False,
 ):
     """The canonical render entry — TPU equivalent of
     `generate_2D_gaussian_splatting_step` (`gaussian_splatting.py:158-217`).
@@ -134,6 +135,13 @@ def render_gaussians(
       use_pallas: False falls back to the dense pure-JAX reference renderer.
       sample_coords: optional (K, 2) integer pixel coords for sparse
         supervision — returns (3, K) sampled values like :214-216.
+      static_perm: replace the runtime device sort with the zero-cost
+        lattice-anchor permutation. The anchor permutation assumes centers
+        track their lattice anchors (true for trained models); with
+        anchor-divergent centers (e.g. random init) only the runtime sort of
+        the actual coordinates guarantees chunk locality, so the device sort
+        is the default. Same-day e2e measurements put the two within ~4% of
+        each other on the random-init benchmark.
 
     Returns:
       (3, H, W) rendered image (the reference's post-permute layout,
@@ -144,7 +152,8 @@ def render_gaussians(
     import math
 
     n = gs_parameters.shape[0]
-    use_static_perm = use_pallas and math.isqrt(n) ** 2 == n
+    use_static_perm = (static_perm and use_pallas
+                       and math.isqrt(n) ** 2 == n)
     if use_static_perm:
         perm = _static_lattice_perm(n, sr_size[0], sr_size[1])
         gs_parameters = jnp.take(gs_parameters, jnp.asarray(perm), axis=0)
@@ -157,9 +166,9 @@ def render_gaussians(
         final_dmax = 100.0  # effectively uncullled (gs_cuda path)
 
     if use_pallas:
-        # Tile-coherence comes from the static lattice permutation above, so
-        # the runtime argsort is skipped; non-square inputs fall back to the
-        # device sort.
+        # With static_perm the tile-coherence comes from the lattice-anchor
+        # permutation above and the runtime argsort is skipped; otherwise the
+        # device sort of the actual predicted centers supplies it.
         img = gs_render(sigmas, kcoords, colors, sr_size, final_dmax,
                         spatial_sort=not use_static_perm)
     else:
