@@ -489,3 +489,107 @@ def convert_hat_paper(sd) -> Dict:
         }
         params[f"layer_{i}"] = layer
     return params
+
+
+# ---------------------------------------------------------------------------
+# Classic (non-NOUP) full SR networks — gsasr_tpu.models.classic
+# ---------------------------------------------------------------------------
+
+
+def _upsample(sd, key):
+    """arch_util Upsample Sequential -> {conv_{i}: ...} (convs sit at the
+    even Sequential indices; PixelShuffle modules carry no params)."""
+    out = {}
+    for k in sd:
+        if k.startswith(f"{key}.") and k.endswith(".weight"):
+            i = int(k[len(key) + 1:].split(".")[0])
+            out[f"conv_{i}"] = _conv(sd, f"{key}.{i}")
+    return out
+
+
+def convert_edsr_classic(sd) -> Dict:
+    """`edsr_arch.py:8-174` EDSR / EDSRx3 / EDSRx4 -> flax params.
+
+    The three registry classes differ only in the torch attribute name of
+    the upsample head; detect it from the state_dict.
+    """
+    num_block = 1 + max(
+        int(k.split(".")[1]) for k in sd if k.startswith("body."))
+    up_key = next(k.split(".")[0] for k in sd
+                  if k.split(".")[0].startswith("upsample"))
+    params = {
+        "conv_first": _conv(sd, "conv_first"),
+        "conv_after_body": _conv(sd, "conv_after_body"),
+        "conv_last": _conv(sd, "conv_last"),
+        "upsample": _upsample(sd, up_key),
+    }
+    for i in range(num_block):
+        params[f"body_{i}"] = {
+            "conv1": _conv(sd, f"body.{i}.conv1"),
+            "conv2": _conv(sd, f"body.{i}.conv2"),
+        }
+    return params
+
+
+def convert_rdn_classic(sd) -> Dict:
+    """`rdn_arch.py:39-120` RDNNOUP(no_upsampling=False) -> flax params."""
+    params = convert_rdn(sd)
+    for k in sd:
+        if k.startswith("UPNet.") and k.endswith(".weight"):
+            i = int(k.split(".")[1])
+            params[f"upnet_{i}"] = _conv(sd, f"UPNet.{i}")
+    return params
+
+
+def convert_swinir_classic(sd, upsampler: str) -> Dict:
+    """`swinir_arch.py:699-938` full SwinIR -> flax params."""
+    n_layers = 1 + max(int(k.split(".")[1]) for k in sd
+                       if k.startswith("layers."))
+    params = {
+        "conv_first": _conv(sd, "conv_first"),
+        "patch_embed_norm": _ln(sd, "patch_embed.norm"),
+        "norm": _ln(sd, "norm"),
+        "conv_after_body": _conv(sd, "conv_after_body"),
+    }
+    for i in range(n_layers):
+        lk = f"layers.{i}.residual_group.blocks."
+        n_blocks = 1 + max(int(k[len(lk):].split(".")[0]) for k in sd
+                           if k.startswith(lk))
+        layer = {"conv": _conv(sd, f"layers.{i}.conv")}
+        for j in range(n_blocks):
+            bk = f"{lk}{j}"
+            layer[f"block_{j}"] = {
+                "norm1": _ln(sd, f"{bk}.norm1"),
+                "norm2": _ln(sd, f"{bk}.norm2"),
+                "attn": {
+                    "relative_position_bias_table": _np(
+                        sd[f"{bk}.attn.relative_position_bias_table"]),
+                    "qkv": _dense(sd, f"{bk}.attn.qkv"),
+                    "proj": _dense(sd, f"{bk}.attn.proj"),
+                },
+                "mlp_fc1": _dense(sd, f"{bk}.mlp.fc1"),
+                "mlp_fc2": _dense(sd, f"{bk}.mlp.fc2"),
+            }
+        params[f"layer_{i}"] = layer
+
+    if upsampler == "pixelshuffle":
+        params["conv_before_upsample_0"] = _conv(sd, "conv_before_upsample.0")
+        params["upsample"] = _upsample(sd, "upsample")
+        params["conv_last"] = _conv(sd, "conv_last")
+    elif upsampler == "pixelshuffledirect":
+        params["upsample"] = _upsample(sd, "upsample")
+    elif upsampler == "nearest+conv":
+        params["conv_before_upsample_0"] = _conv(sd, "conv_before_upsample.0")
+        for k in ("conv_up1", "conv_up2", "conv_hr", "conv_last"):
+            params[k] = _conv(sd, k)
+    else:
+        params["conv_last"] = _conv(sd, "conv_last")
+    return params
+
+
+def convert_hat_classic(sd) -> Dict:
+    """`hat_arch.py:709-984` full HAT (pixelshuffle head) -> flax params."""
+    params = convert_hat_paper(sd)
+    params["upsample"] = _upsample(sd, "upsample")
+    params["conv_last"] = _conv(sd, "conv_last")
+    return params

@@ -103,3 +103,70 @@ def import_hat_paper_arch():
 
     return import_reference_file(
         "TrainTestGSASR/basicsr/archs/hat_arch.py", "hat_arch")
+
+
+def import_basicsr_arch(modname: str):
+    """Load `TrainTestGSASR/basicsr/archs/<modname>.py` with the REAL
+    arch_util (EDSR/RDN/SwinIR classic archs need ResidualBlockNoBN /
+    Upsample / make_layer), stubbing only the registry, logger and the
+    CUDA-only dcn op package."""
+    _stub_torchvision()
+    import torch
+
+    full = f"basicsr.archs.{modname}"
+    if f"refarch_{modname}" in sys.modules:
+        return sys.modules[f"refarch_{modname}"]
+
+    reg_mod = types.ModuleType("basicsr.utils.registry")
+
+    class _Reg:
+        def register(self, obj=None):
+            if obj is None:
+                return lambda o: o
+            return obj
+
+    reg_mod.ARCH_REGISTRY = _Reg()
+
+    import logging
+    utils_pkg = sys.modules.get("basicsr.utils") or types.ModuleType(
+        "basicsr.utils")
+    utils_pkg.get_root_logger = lambda *a, **k: logging.getLogger("ref")
+
+    dcn_mod = types.ModuleType("basicsr.ops.dcn")
+
+    class _MDCPStub(torch.nn.Module):
+        pass
+
+    dcn_mod.ModulatedDeformConvPack = _MDCPStub
+    dcn_mod.modulated_deform_conv = lambda *a, **k: None
+
+    pkg = sys.modules.get("basicsr") or types.ModuleType("basicsr")
+    archs_pkg = sys.modules.get("basicsr.archs") or types.ModuleType(
+        "basicsr.archs")
+    archs_pkg.__path__ = [str(
+        REFERENCE / "TrainTestGSASR" / "basicsr" / "archs")]
+    ops_pkg = types.ModuleType("basicsr.ops")
+    for name, mod in [("basicsr", pkg), ("basicsr.utils", utils_pkg),
+                      ("basicsr.utils.registry", reg_mod),
+                      ("basicsr.archs", archs_pkg),
+                      ("basicsr.ops", ops_pkg),
+                      ("basicsr.ops.dcn", dcn_mod)]:
+        sys.modules[name] = mod
+
+    import importlib.util
+
+    def _load(submod):
+        path = (REFERENCE / "TrainTestGSASR" / "basicsr" / "archs"
+                / f"{submod}.py")
+        spec = importlib.util.spec_from_file_location(
+            f"basicsr.archs.{submod}", path)
+        m = importlib.util.module_from_spec(spec)
+        sys.modules[spec.name] = m
+        spec.loader.exec_module(m)
+        return m
+
+    # Real arch_util (replaces any minimal stub a prior oracle installed).
+    _load("arch_util")
+    mod = _load(modname)
+    sys.modules[f"refarch_{modname}"] = mod
+    return mod
