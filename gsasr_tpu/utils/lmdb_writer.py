@@ -1,0 +1,117 @@
+"""LMDB dataset writer.
+
+Equivalent of the reference `basicsr/utils/lmdb_util.py:9-199`:
+`make_lmdb_from_imgs` builds an lmdb with a `meta_info.txt` sidecar
+(`<key>.png (h,w,c) <compress_level>` lines — the format
+`gsasr_tpu.data.data_util.paired_paths_from_lmdb` consumes), and
+`LmdbMaker` is the incremental writer. Gated on the `lmdb` package (absent
+in this image); readers live in `gsasr_tpu.utils.file_client`.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+
+def _require_lmdb():
+    try:
+        import lmdb
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "lmdb package is required for lmdb writing; install it or use "
+            "the disk backend") from e
+    return lmdb
+
+
+class LmdbMaker:
+    """Incremental lmdb writer (`lmdb_util.py:159-199`)."""
+
+    def __init__(self, lmdb_path, map_size=1024 ** 4, batch=5000,
+                 compress_level=1):
+        lmdb = _require_lmdb()
+        lmdb_path = str(lmdb_path)
+        if not lmdb_path.endswith(".lmdb"):
+            raise ValueError("lmdb_path must end with '.lmdb'")
+        if os.path.exists(lmdb_path):
+            raise FileExistsError(f"{lmdb_path} already exists")
+        self.lmdb_path = lmdb_path
+        self.batch = batch
+        self.compress_level = compress_level
+        self.env = lmdb.open(lmdb_path, map_size=map_size)
+        self.txn = self.env.begin(write=True)
+        self.txt_file = open(os.path.join(lmdb_path, "meta_info.txt"), "w")
+        self.counter = 0
+
+    def put(self, img_byte, key, img_shape):
+        self.counter += 1
+        self.txn.put(key.encode("ascii"), img_byte)
+        h, w, c = img_shape
+        self.txt_file.write(
+            f"{key}.png ({h},{w},{c}) {self.compress_level}\n")
+        if self.counter % self.batch == 0:
+            self.txn.commit()
+            self.txn = self.env.begin(write=True)
+
+    def close(self):
+        self.txn.commit()
+        self.env.close()
+        self.txt_file.close()
+
+
+def read_img_worker(path, key, compress_level):
+    """Read an image and png-encode it (`lmdb_util.py:135-156`)."""
+    import cv2
+    img = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
+    if img.ndim == 2:
+        h, w = img.shape
+        c = 1
+    else:
+        h, w, c = img.shape
+    _, img_byte = cv2.imencode(
+        ".png", img, [cv2.IMWRITE_PNG_COMPRESSION, compress_level])
+    return key, img_byte.tobytes(), (h, w, c)
+
+
+def make_lmdb_from_imgs(data_path, lmdb_path, img_path_list, keys,
+                        batch=5000, compress_level=1, multiprocessing_read=False,
+                        n_thread=40, map_size=None):
+    """Build an lmdb from a list of images (`lmdb_util.py:9-132`).
+
+    multiprocessing_read loads all images up-front with a thread pool
+    (the reference uses multiprocessing; threads suffice for IO-bound
+    png decode/encode and avoid fork+cv2 pitfalls).
+    """
+    import cv2
+    assert len(img_path_list) == len(keys), (
+        "img_path_list and keys must have the same length")
+    print(f"Create lmdb for {data_path}, save to {lmdb_path}...")
+    if multiprocessing_read:
+        from concurrent.futures import ThreadPoolExecutor
+        dataset, shapes = {}, {}
+        with ThreadPoolExecutor(max_workers=n_thread) as pool:
+            for key, img_byte, shape in pool.map(
+                    lambda pk: read_img_worker(
+                        Path(data_path) / pk[0], pk[1], compress_level),
+                    zip(img_path_list, keys)):
+                dataset[key] = img_byte
+                shapes[key] = shape
+
+    if map_size is None:
+        img = cv2.imread(str(Path(data_path) / img_path_list[0]),
+                         cv2.IMREAD_UNCHANGED)
+        _, img_byte = cv2.imencode(
+            ".png", img, [cv2.IMWRITE_PNG_COMPRESSION, compress_level])
+        map_size = len(img_byte) * len(img_path_list) * 10
+
+    maker = LmdbMaker(lmdb_path, map_size=map_size, batch=batch,
+                      compress_level=compress_level)
+    for path, key in zip(img_path_list, keys):
+        if multiprocessing_read:
+            img_byte, shape = dataset[key], shapes[key]
+        else:
+            _, img_byte, shape = read_img_worker(
+                Path(data_path) / path, key, compress_level)
+        maker.put(img_byte, key, shape)
+    maker.close()
+    print(f"Finish writing lmdb ({len(keys)} images).")

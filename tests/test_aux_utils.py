@@ -1,0 +1,109 @@
+"""Tests for aux utils: flow IO, plot helpers, filter2D/USM sharpening."""
+
+import numpy as np
+import pytest
+
+from tests.reference_oracle import import_reference_file, reference_available
+
+
+def test_flow_flo_roundtrip(tmp_path):
+    from gsasr_tpu.utils.flow import flowread, flowwrite
+    rng = np.random.default_rng(0)
+    flow = rng.standard_normal((6, 8, 2)).astype(np.float32)
+    path = tmp_path / "a.flo"
+    flowwrite(flow, path)
+    back = flowread(path)
+    np.testing.assert_array_equal(back, flow)
+
+
+def test_flow_quantize_roundtrip():
+    from gsasr_tpu.utils.flow import dequantize_flow, quantize_flow
+    rng = np.random.default_rng(1)
+    flow = (rng.standard_normal((5, 7, 2)) * 0.05).astype(np.float64)
+    dx, dy = quantize_flow(flow, max_val=0.02, norm=True)
+    assert dx.dtype == np.uint8
+    back = dequantize_flow(dx, dy, max_val=0.02, denorm=True)
+    # lossy: bin width is 2*max_val/255 in normalized units, scaled by w/h
+    np.testing.assert_allclose(
+        back[..., 0], np.clip(flow[..., 0], -0.02 * 7, 0.02 * 7),
+        atol=0.02 * 2 / 255 * 7 + 1e-9)
+    # zero maps to zero (255-level design)
+    z = np.zeros((4, 4, 2))
+    dx0, dy0 = quantize_flow(z)
+    np.testing.assert_allclose(dequantize_flow(dx0, dy0), z, atol=1e-12)
+
+
+def test_plot_txt_and_smooth(tmp_path):
+    from gsasr_tpu.utils.plot import (read_data_from_txt_1v,
+                                      read_data_from_txt_2v, smooth_data)
+    log = tmp_path / "train.log"
+    log.write_text("iter 100 loss 0.5\niter 200 loss 0.25\nnoise\n")
+    steps, values = read_data_from_txt_2v(
+        log, r"iter (\d+) loss ([\d.]+)")
+    assert steps == [100, 200] and values == [0.5, 0.25]
+    vals = read_data_from_txt_1v(log, r"iter \d+ loss ([\d.]+)")
+    assert vals == [0.5, 0.25]
+    sm = smooth_data([1.0, 0.0, 0.0], 0.5)
+    np.testing.assert_allclose(sm, [1.0, 0.5, 0.25])
+
+
+@pytest.mark.skipif(not reference_available(), reason="no reference tree")
+def test_filter2d_parity_vs_torch():
+    import torch
+    ref = import_reference_file(
+        "TrainTestGSASR/basicsr/utils/img_process_util.py",
+        "img_process_util")
+    import jax.numpy as jnp
+    from gsasr_tpu.ops.img_process import filter2D
+
+    rng = np.random.default_rng(2)
+    img = rng.random((2, 10, 12, 3), dtype=np.float32)
+    # per-sample kernels
+    k = rng.random((2, 5, 5), dtype=np.float32)
+    k /= k.sum(axis=(1, 2), keepdims=True)
+    y_ref = ref.filter2D(torch.from_numpy(np.ascontiguousarray(img.transpose(0, 3, 1, 2))),
+                         torch.from_numpy(k)).numpy().transpose(0, 2, 3, 1)
+    y = np.asarray(filter2D(jnp.asarray(img), jnp.asarray(k)))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-5, atol=1e-6)
+    # shared kernel
+    k1 = k[:1]
+    y_ref = ref.filter2D(torch.from_numpy(np.ascontiguousarray(img.transpose(0, 3, 1, 2))),
+                         torch.from_numpy(k1)).numpy().transpose(0, 2, 3, 1)
+    y = np.asarray(filter2D(jnp.asarray(img), jnp.asarray(k1)))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(not reference_available(), reason="no reference tree")
+def test_usm_sharp_parity_vs_reference():
+    """Our jax USMSharp vs the reference torch USMSharp module (identical
+    kernel construction via cv2.getGaussianKernel semantics)."""
+    import torch
+    ref = import_reference_file(
+        "TrainTestGSASR/basicsr/utils/img_process_util.py",
+        "img_process_util")
+    import jax.numpy as jnp
+    from gsasr_tpu.ops.img_process import USMSharp
+
+    rng = np.random.default_rng(3)
+    img = rng.random((1, 16, 18, 3), dtype=np.float32)
+    ref_mod = ref.USMSharp(radius=9)
+    y_ref = ref_mod(torch.from_numpy(np.ascontiguousarray(img.transpose(0, 3, 1, 2))))
+    y_ref = y_ref.numpy().transpose(0, 2, 3, 1)
+    ours = USMSharp(radius=9)
+    y = np.asarray(ours(jnp.asarray(img)))
+    # threshold mask is a hard comparison; tolerate a few flipped pixels'
+    # soft-mask contribution
+    assert np.abs(y - y_ref).max() < 5e-3
+    assert np.abs(y - y_ref).mean() < 1e-4
+
+
+def test_lmdb_writer_gated():
+    from gsasr_tpu.utils.lmdb_writer import LmdbMaker
+    try:
+        import lmdb  # noqa: F401
+        have = True
+    except ImportError:
+        have = False
+    if not have:
+        with pytest.raises((ImportError, ValueError)):
+            LmdbMaker("/tmp/x.lmdb")
