@@ -8,6 +8,8 @@
   integer or float scales.
 - test-crops (`test_time_img_generate.py`): random fixed-size GT crops
   (720^2 default) for the compute-cost protocol.
+- multiscale (`generate_multiscale_dataset.py`): Lanczos downscale pyramid
+  (x0.9...x0.4) plus a shortest-edge-512 rescale per image.
 """
 
 from __future__ import annotations
@@ -93,6 +95,41 @@ def test_crops(src: str, dst: str, size: int = 720, seed: int = 0):
     print(f"wrote {n} {size}^2 crops to {dst}")
 
 
+def multiscale(src: str, dst: str = None, shortest_edge: int = 512,
+               scales=(0.9, 0.8, 0.7, 0.6, 0.5, 0.4)):
+    """Lanczos downscale pyramid + shortest-edge-512 rescale — equivalent of
+    `TrainTestGSASR/scripts/data_preparation/generate_multiscale_dataset.py`.
+    """
+    from PIL import Image
+
+    src = src.rstrip("/")
+    if dst is None:
+        dst = os.path.join(
+            os.path.dirname(src),
+            f"{os.path.basename(src)}_multiscaleHR_shortest{shortest_edge}")
+    os.makedirs(dst, exist_ok=True)
+    n = 0
+    for name in sorted(os.listdir(src)):
+        base = os.path.splitext(name)[0]
+        img = Image.open(Path(src) / name)
+        w, h = img.size
+        for idx, s in enumerate(scales):
+            if min(int(w * s), int(h * s)) >= shortest_edge:
+                rlt = img.resize((int(w * s), int(h * s)),
+                                 resample=Image.LANCZOS)
+                rlt.save(Path(dst) / f"{base}T{idx}.png")
+                n += 1
+        # smallest variant: shortest edge exactly `shortest_edge`
+        if w < h:
+            nw, nh = shortest_edge, int(shortest_edge * h / w)
+        else:
+            nh, nw = shortest_edge, int(shortest_edge * w / h)
+        img.resize((nw, nh), resample=Image.LANCZOS).save(
+            Path(dst) / f"{base}T{len(scales)}.png")
+        n += 1
+    print(f"wrote {n} multiscale images to {dst}")
+
+
 def main():
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -115,6 +152,11 @@ def main():
     t.add_argument("--dst", required=True)
     t.add_argument("--size", type=int, default=720)
 
+    m = sub.add_parser("multiscale")
+    m.add_argument("--src", required=True)
+    m.add_argument("--dst", default=None)
+    m.add_argument("--shortest-edge", type=int, default=512)
+
     args = p.parse_args()
     if args.cmd == "extract-subimages":
         extract_subimages(args.src, args.dst, args.crop, args.step,
@@ -123,6 +165,8 @@ def main():
         generate_lr(args.gt, args.dst, args.scale, args.workers)
     elif args.cmd == "test-crops":
         test_crops(args.src, args.dst, args.size)
+    elif args.cmd == "multiscale":
+        multiscale(args.src, args.dst, args.shortest_edge)
 
 
 if __name__ == "__main__":
