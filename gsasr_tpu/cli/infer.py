@@ -1,9 +1,12 @@
 """Single-image inference CLI — equivalent of
-`/root/reference/inference_paper.py`.
+`/root/reference/inference_paper.py` and
+`/root/reference/inference_enhenced.py` (selected via --version).
 
 Usage:
   python -m gsasr_tpu.cli.infer --input_img_path in.png --scale 4 \
-      --save_sr_path out/ [--enc_ckpt net_g.pth --dec_ckpt net_fea2gs.pth] \
+      --save_sr_path out/ [--model EDSR|RDN|SWIN|HATL] \
+      [--version paper|enhanced|ultra] [--bf16] \
+      [--enc_ckpt net_g.pth --dec_ckpt net_fea2gs.pth] \
       [--tile_process --tile_size 480 --tile_overlap 8 --crop_size 4]
 
 Loads reference-format .pth checkpoints (params_ema) when given; otherwise
@@ -18,13 +21,45 @@ import os
 
 import numpy as np
 
+# CLI model name -> (encoder key, checkpoint converter kind)
+MODEL_ENCODERS = {"EDSR": "edsr", "RDN": "rdn", "SWIN": "swinir",
+                  "HATL": "hat"}
+
+
+def build_models(model: str, version: str, bf16: bool = False):
+    """(enc, dec, enc_params_kind, dec_params_kind, denominator)."""
+    from gsasr_tpu.model import DENOMINATORS, make_models
+    import jax.numpy as jnp
+
+    encoder = MODEL_ENCODERS[model]
+    if model == "HATL" and version == "paper":
+        raise SystemExit("HATL ships only as Enhanced/Ultra "
+                         "(README.md:206-209)")
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    enc, dec = make_models(encoder, version, dtype=dtype)
+    dec_kind = "fea2gs" if version == "paper" else "fea2gs_rope"
+    # Enhanced family denominators: 12 EDSR/RDN, 16 SWIN/HATL
+    # (`inference_enhenced.py:219-222`); paper: 12/24
+    # (`inference_paper.py:170`).
+    if version == "paper":
+        denom = DENOMINATORS[encoder]
+    else:
+        denom = 12 if model in ("EDSR", "RDN") else 16
+    return enc, dec, encoder, dec_kind, denom
+
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--input_img_path", required=True)
     p.add_argument("--save_sr_path", default="./output")
     p.add_argument("--scale", type=float, default=4.0)
-    p.add_argument("--model", default="EDSR", choices=["EDSR"])
+    p.add_argument("--model", default="EDSR",
+                   choices=sorted(MODEL_ENCODERS))
+    p.add_argument("--version", default="paper",
+                   choices=["paper", "enhanced", "ultra"])
+    p.add_argument("--AMP_test", "--bf16", dest="bf16",
+                   action="store_true",
+                   help="bf16 inference (`inference_enhenced.py:212`)")
     p.add_argument("--enc_ckpt", default=None)
     p.add_argument("--dec_ckpt", default=None)
     p.add_argument("--denominator", type=int, default=None)
@@ -42,17 +77,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from gsasr_tpu.model import DENOMINATORS, make_models, sr_forward
+    from gsasr_tpu.model import sr_forward
     from gsasr_tpu.tiling import split_and_joint_image
     from gsasr_tpu.utils.checkpoint import load_torch_checkpoint
 
-    denom = args.denominator or DENOMINATORS[args.model.lower()]
-    enc, dec = make_models(args.model.lower())
+    enc, dec, enc_kind, dec_kind, denom = build_models(
+        args.model, args.version, args.bf16)
+    denom = args.denominator or denom
 
     rng = jax.random.PRNGKey(0)
     if args.enc_ckpt:
-        enc_params = load_torch_checkpoint(args.enc_ckpt, "edsr")
-        dec_params = load_torch_checkpoint(args.dec_ckpt, "fea2gs")
+        enc_params = load_torch_checkpoint(args.enc_ckpt, enc_kind)
+        dec_params = load_torch_checkpoint(args.dec_ckpt, dec_kind)
     else:
         print("WARNING: no checkpoint given; random init (smoke mode)")
         enc_params = enc.init(rng, jnp.zeros((1, 12, 12, 3)))["params"]

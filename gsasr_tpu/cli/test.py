@@ -22,7 +22,11 @@ def main():
     p.add_argument("--gt", required=True)
     p.add_argument("--lq", required=True)
     p.add_argument("--scale", type=float, default=4.0)
-    p.add_argument("--model", default="EDSR", choices=["EDSR"])
+    p.add_argument("--model", default="EDSR",
+                   choices=["EDSR", "RDN", "SWIN", "HATL"])
+    p.add_argument("--version", default="paper",
+                   choices=["paper", "enhanced", "ultra"])
+    p.add_argument("--AMP_test", "--bf16", dest="bf16", action="store_true")
     p.add_argument("--enc_ckpt", default=None)
     p.add_argument("--dec_ckpt", default=None)
     p.add_argument("--dmax", type=float, default=0.1)
@@ -44,16 +48,17 @@ def main():
     from gsasr_tpu.data.datasets import PairedImageDataset
     from gsasr_tpu.metrics import (calculate_psnr, calculate_ssim,
                                    crop_border_for_scale)
-    from gsasr_tpu.model import DENOMINATORS, make_models, sr_forward
+    from gsasr_tpu.cli.infer import build_models
+    from gsasr_tpu.model import sr_forward
     from gsasr_tpu.tiling import split_and_joint_image
     from gsasr_tpu.utils.checkpoint import load_torch_checkpoint
 
-    enc, dec = make_models(args.model.lower())
-    denom = DENOMINATORS[args.model.lower()]
+    enc, dec, enc_kind, dec_kind, denom = build_models(
+        args.model, args.version, args.bf16)
     rng = jax.random.PRNGKey(0)
     if args.enc_ckpt:
-        enc_params = load_torch_checkpoint(args.enc_ckpt, "edsr")
-        dec_params = load_torch_checkpoint(args.dec_ckpt, "fea2gs")
+        enc_params = load_torch_checkpoint(args.enc_ckpt, enc_kind)
+        dec_params = load_torch_checkpoint(args.dec_ckpt, dec_kind)
     else:
         print("WARNING: random init (smoke mode)")
         enc_params = enc.init(rng, jnp.zeros((1, 12, 12, 3)))["params"]
