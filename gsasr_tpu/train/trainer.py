@@ -101,12 +101,16 @@ class Trainer:
     # -- init ---------------------------------------------------------------
 
     def init(self, rng, lq_shape: Sequence[int]) -> TrainState:
+        from gsasr_tpu.models.init import init_with_torch_defaults
         rng_g, rng_d = jax.random.split(rng)
         b, h, w, c = lq_shape
         feat_ch = getattr(self.enc, "num_feat", 64)
-        params_g = self.enc.init(rng_g, jnp.zeros((1, h, w, c)))["params"]
-        params_d = self.dec.init(
-            rng_d, jnp.zeros((1, h, w, feat_ch)), jnp.ones((1,)))["params"]
+        # torch-faithful init (see models/init.py): flax defaults saturate
+        # the Gaussian-parameter activations at production width.
+        params_g = init_with_torch_defaults(
+            self.enc, rng_g, jnp.zeros((1, h, w, c)))
+        params_d = init_with_torch_defaults(
+            self.dec, rng_d, jnp.zeros((1, h, w, feat_ch)), jnp.ones((1,)))
         opt_state = self.tx.init({"g": params_g, "d": params_d})
         # EMA trees must be distinct buffers: the jitted step donates the
         # state, and aliased params/ema leaves would be donated twice.
