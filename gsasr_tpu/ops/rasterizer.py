@@ -67,6 +67,11 @@ _DEF_GC = 1024
 # dim in the transposed layout so it must be a multiple of 128.
 _DEF_TH_BWD = 8
 _DEF_GC_BWD = 512
+# Segment-binned forward: per-tile corner-neighborhood walks on short
+# (8, 128) tiles so a small Gaussian is evaluated against ~1k pixels instead
+# of 4k; see _raster_fwd_call_binned.
+_DEF_TH_BIN = 8
+_DEF_GC_BIN = 256
 
 
 def _interpret() -> bool:
@@ -272,6 +277,62 @@ def _fwd_kernel_windowed(ranges_ref, bbox_ref, geom_ref, col_ref, out_ref,
         out_ref[0, :, :] += contrib
 
 
+def _seg_chunk(tab_ref, t, k, kc):
+    """Piecewise chunk selection over tile t's four ranges; tab rows 0-3 are
+    range chunk starts, rows 4-7 the cumulative lengths."""
+    c = jnp.where(
+        k < tab_ref[4, t], tab_ref[0, t] + k,
+        jnp.where(
+            k < tab_ref[5, t], tab_ref[1, t] + (k - tab_ref[4, t]),
+            jnp.where(k < tab_ref[6, t],
+                      tab_ref[2, t] + (k - tab_ref[5, t]),
+                      tab_ref[3, t] + (k - tab_ref[6, t]))))
+    return jnp.clip(c, 0, kc - 1)
+
+
+def _fwd_kernel_seg(tab_ref, geom_ref, col_ref, out_ref, *, th, tw, n_tw,
+                    nc, kc):
+    """Forward over per-tile segment ranges of the corner-sorted Gaussian
+    array (see `_raster_fwd_call_binned`): the k-th step of tile t walks the
+    concatenation of its four chunk ranges, masked past the total. No bbox
+    test — a range is a superset of the exact per-tile list only through
+    chunk-boundary rounding, and every extra Gaussian is nulled by the
+    per-pixel cull-box mask."""
+    t = pl.program_id(0)
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    tile_i = t // n_tw
+    tile_j = t - tile_i * n_tw
+
+    @pl.when(k < tab_ref[7, t])
+    def _():
+        xpix, ypix = _pixel_xy(tile_i, tile_j, th, tw)
+        sx, sy, rho, cx, cy, xlo, xhi, ylo, yhi = _load_rows(geom_ref)
+
+        dx = xpix - cx
+        dy = ypix - cy
+        inv_sx = 1.0 / sx
+        inv_sy = 1.0 / sy
+        w2 = inv_sx * inv_sx
+        w3 = inv_sx * inv_sy
+        w4 = inv_sy * inv_sy
+        w1 = -0.5 / (1.0 - rho * rho)
+        quad = w2 * (dx * dx) - (2.0 * rho * w3) * (dx * dy) + w4 * (dy * dy)
+        v = jnp.exp(w1 * quad)
+        mask = (xpix >= xlo) & (xpix <= xhi) & (ypix >= ylo) & (ypix <= yhi)
+        v = jnp.where(mask, v, 0.0)
+        contrib = jax.lax.dot_general(
+            v, col_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, :, :] += contrib
+
+
 # ---------------------------------------------------------------------------
 # Pallas call wrappers
 # ---------------------------------------------------------------------------
@@ -380,6 +441,161 @@ def _raster_fwd_call_windowed(geom_t, col_t, *, h, w, th, tw, gc, window):
     return img[:h, :w]
 
 
+def _corner_key(geom_t, *, h, w, th, tw, ry, rx):
+    """Composite sort key for the segment-binned forward, plus class data.
+
+    Key space: [0, nt) fine corner tile | [nt, nt+nb) coarse corner bin |
+    nt+nb invisible. Fine = clipped cull box spans <= 2x2 compute tiles;
+    coarse = everything else, binned on (ry x rx)-tile super-bins. Returns
+    (key, ok) where ok=False means some coarse box spans > 2x2 bins and the
+    segment walk would MISS contributions — the caller must fall back."""
+    g = jax.lax.stop_gradient(geom_t)
+    xlo, xhi = g[G_XLO], g[G_XHI]
+    ylo, yhi = g[G_YLO], g[G_YHI]
+    n_th, n_tw = _cdiv(h, th), _cdiv(w, tw)
+    nt = n_th * n_tw
+    n_bw = _cdiv(n_tw, rx)
+    nb = _cdiv(n_th, ry) * n_bw
+
+    vis = ((xhi >= 0) & (xlo <= w - 1) & (yhi >= 0) & (ylo <= h - 1)
+           & (xhi >= xlo) & (yhi >= ylo))
+    fx0 = (jnp.clip(xlo, 0, w - 1) // tw).astype(jnp.int32)
+    fx1 = (jnp.clip(xhi, 0, w - 1) // tw).astype(jnp.int32)
+    fy0 = (jnp.clip(ylo, 0, h - 1) // th).astype(jnp.int32)
+    fy1 = (jnp.clip(yhi, 0, h - 1) // th).astype(jnp.int32)
+    fine = vis & (fx1 - fx0 <= 1) & (fy1 - fy0 <= 1)
+    coarse = vis & ~fine
+    bad = coarse & ((fx1 // rx - fx0 // rx > 1) | (fy1 // ry - fy0 // ry > 1))
+    key = jnp.where(
+        fine, fy0 * n_tw + fx0,
+        jnp.where(coarse, nt + (fy0 // ry) * n_bw + fx0 // rx, nt + nb))
+    return key.astype(jnp.int32), ~jnp.any(bad)
+
+
+def _segment_tables(bounds, *, n_th, n_tw, ry, rx, gc, kc):
+    """Per-tile chunk-range table (8, nt) int32 for `_fwd_kernel_seg`.
+
+    Tile t must see every Gaussian whose fine corner is in tiles
+    {t, t-1, t-nw, t-nw-1} (span <= 2x2 means a toucher's corner is there)
+    and every coarse Gaussian whose corner bin is in the same 2x2 bin
+    neighborhood — two contiguous key ranges each, since (row, col) and
+    (row, col+1) are adjacent keys. Ranges are rounded to chunk boundaries
+    (the kernel's per-pixel box mask nulls the strays) and their chunk ends
+    are clamped to the next range's start so rounding can never double-count
+    (the next range then covers the clamped-off chunks).
+
+    rows 0-3: range chunk starts; rows 4-7: cumulative chunk counts.
+    """
+    nt = n_th * n_tw
+    n_bh, n_bw = _cdiv(n_th, ry), _cdiv(n_tw, rx)
+    nb = n_bh * n_bw
+    t = jnp.arange(nt, dtype=jnp.int32)
+    ti = t // n_tw
+    tj = t - ti * n_tw
+    b = (ti // ry) * n_bw + tj // rx
+
+    def seg(base, lo_key, hi_key, n_keys):
+        lo = bounds[base + jnp.clip(lo_key, 0, n_keys)]
+        hi = bounds[base + jnp.clip(hi_key, 0, n_keys)]
+        return lo, jnp.maximum(hi, lo)
+
+    # ascending key order: fine upper row, fine current row, coarse upper
+    # bin row, coarse current bin row
+    lo0, hi0 = seg(0, t - n_tw - 1, t - n_tw + 1, nt)
+    lo1, hi1 = seg(0, t - 1, t + 1, nt)
+    lo2, hi2 = seg(nt, b - n_bw - 1, b - n_bw + 1, nb)
+    lo3, hi3 = seg(nt, b - 1, b + 1, nb)
+
+    clo = [lo0 // gc, lo1 // gc, lo2 // gc, lo3 // gc]
+    chi = [-(-hi0 // gc), -(-hi1 // gc), -(-hi2 // gc), -(-hi3 // gc)]
+    for i in range(3):
+        chi[i] = jnp.minimum(chi[i], clo[i + 1])
+    lens = [jnp.maximum(chi[i] - jnp.minimum(clo[i], chi[i]), 0)
+            for i in range(4)]
+    cum = []
+    acc = jnp.zeros((nt,), jnp.int32)
+    for i in range(4):
+        acc = acc + lens[i]
+        cum.append(acc)
+    tab = jnp.stack(
+        [jnp.clip(c, 0, kc - 1) for c in clo] + cum, axis=0).astype(jnp.int32)
+    return tab, acc
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "h", "w", "th", "tw", "gc", "ry", "rx", "window", "fb_th", "fb_tw",
+    "fb_gc"))
+def _raster_fwd_call_binned(geom_t, col_t, *, h, w, th, tw, gc, ry, rx,
+                            window, fb_th, fb_tw, fb_gc):
+    """Segment-binned forward: every tile walks only the chunks of the
+    corner-sorted Gaussian array whose corners lie in its 2x2 tile (or
+    coarse-bin) neighborhood. Work is proportional to ~4x the true number of
+    (Gaussian, tile) overlaps — measured ~5-8x less compute than the
+    chunk-bbox culling of the windowed path on the 720^2/518k benchmark,
+    whose chunk unions are inflated by the ~10% of Gaussians with near-dmax
+    footprints. The input must already be sorted by `_corner_key` (the
+    caller's spatial sort). Falls back to the windowed path at runtime when
+    a tile's walk exceeds `window` or a coarse box spans > 2x2 bins."""
+    sp = geom_t.shape[1]
+    nc = col_t.shape[0]
+    n_th, n_tw = _cdiv(h, th), _cdiv(w, tw)
+    nt = n_th * n_tw
+    nb = _cdiv(n_th, ry) * _cdiv(n_tw, rx)
+    kc = sp // gc
+    p = th * tw
+
+    key, ok = _corner_key(geom_t, h=h, w=w, th=th, tw=tw, ry=ry, rx=rx)
+    bounds = jnp.searchsorted(
+        key, jnp.arange(nt + nb + 1, dtype=jnp.int32)).astype(jnp.int32)
+    tab, total = _segment_tables(bounds, n_th=n_th, n_tw=n_tw, ry=ry, rx=rx,
+                                 gc=gc, kc=kc)
+    ok = ok & (jnp.max(total) <= window)
+
+    def binned(args):
+        geom_t, col_t, tab = args
+        kernel = functools.partial(_fwd_kernel_seg, th=th, tw=tw, n_tw=n_tw,
+                                   nc=nc, kc=kc)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nt, window),
+            in_specs=[
+                pl.BlockSpec(
+                    (GEOM_COLS, gc),
+                    lambda t, k, tab_ref: (0, _seg_chunk(tab_ref, t, k, kc))),
+                pl.BlockSpec(
+                    (nc, gc),
+                    lambda t, k, tab_ref: (0, _seg_chunk(tab_ref, t, k, kc))),
+            ],
+            out_specs=pl.BlockSpec((1, p, nc),
+                                   lambda t, k, tab_ref: (t, 0, 0)),
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nt, p, nc), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            interpret=_interpret(),
+        )(tab, geom_t, col_t)
+        img = out.reshape(n_th, n_tw, th, tw, nc)
+        img = img.transpose(0, 2, 1, 3, 4).reshape(n_th * th, n_tw * tw, nc)
+        return img[:h, :w]
+
+    def fallback(args):
+        geom_t, col_t, _ = args
+        kc_fb = sp // fb_gc
+        if kc_fb >= 16:
+            win = int(min(kc_fb, max(64, -(-kc_fb // 4))))
+            return _raster_fwd_call_windowed(
+                geom_t, col_t, h=h, w=w, th=fb_th, tw=fb_tw, gc=fb_gc,
+                window=win)
+        return _raster_fwd_call(geom_t, col_t, h=h, w=w, th=fb_th, tw=fb_tw,
+                                gc=fb_gc)
+
+    return jax.lax.cond(ok, binned, fallback, (geom_t, col_t, tab))
+
+
 def _raster_fwd_tiles(geom_t, col_t, *, h, w, th, tw, gc):
     """Dense-grid forward returning raw (nt, p, nc) tiles."""
     sp = geom_t.shape[1]
@@ -476,11 +692,19 @@ def _raster_bwd_call(geom_t, col_t, g_img, *, h, w, th, tw, gc):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_dispatch(geom, col, h, w, th, tw, gc):
-    """Pick the windowed forward when the chunk count is large enough for
-    per-tile ranges to pay off; the windowed path falls back to the dense
-    grid at runtime if any tile's range exceeds the window."""
+def _fwd_dispatch(geom, col, h, w, th, tw, gc, ry, rx):
+    """Forward dispatch. ry/rx > 0 selects the exact-binned forward (they are
+    the coarse-bin dims in fine-tile units); otherwise pick the windowed
+    forward when the chunk count is large enough for per-tile ranges to pay
+    off, else the dense grid."""
     kc = geom.shape[1] // gc
+    if ry > 0:
+        sp = geom.shape[1]
+        nt = _cdiv(h, _DEF_TH_BIN) * _cdiv(w, tw)
+        window = max(32, _cdiv(8 * sp, nt * _DEF_GC_BIN))
+        return _raster_fwd_call_binned(
+            geom, col, h=h, w=w, th=_DEF_TH_BIN, tw=tw, gc=_DEF_GC_BIN,
+            ry=ry, rx=rx, window=window, fb_th=th, fb_tw=tw, fb_gc=gc)
     if kc >= 16:
         window = int(min(kc, max(64, -(-kc // 4))))
         return _raster_fwd_call_windowed(geom, col, h=h, w=w, th=th, tw=tw,
@@ -488,17 +712,17 @@ def _fwd_dispatch(geom, col, h, w, th, tw, gc):
     return _raster_fwd_call(geom, col, h=h, w=w, th=th, tw=tw, gc=gc)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
-def _raster_core(geom, col, h, w, th, tw, gc, gc_bwd):
-    return _fwd_dispatch(geom, col, h, w, th, tw, gc)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+def _raster_core(geom, col, h, w, th, tw, gc, gc_bwd, ry, rx):
+    return _fwd_dispatch(geom, col, h, w, th, tw, gc, ry, rx)
 
 
-def _raster_core_fwd(geom, col, h, w, th, tw, gc, gc_bwd):
-    out = _fwd_dispatch(geom, col, h, w, th, tw, gc)
+def _raster_core_fwd(geom, col, h, w, th, tw, gc, gc_bwd, ry, rx):
+    out = _fwd_dispatch(geom, col, h, w, th, tw, gc, ry, rx)
     return out, (geom, col)
 
 
-def _raster_core_bwd(h, w, th, tw, gc, gc_bwd, res, g):
+def _raster_core_bwd(h, w, th, tw, gc, gc_bwd, ry, rx, res, g):
     # Backward runs with its own smaller tile/chunk so its ~8 concurrent
     # (th_bwd*tw, gc_bwd) f32 temporaries fit the ~16MB VMEM budget.
     geom, col = res
@@ -518,7 +742,8 @@ _raster_core.defvjp(_raster_core_fwd, _raster_core_bwd)
 def gs_render_px(geom, colors, canvas_hw: Sequence[int], *,
                  spatial_sort: bool = True, th: int = _DEF_TH,
                  tw: int = _DEF_TW, gc: int = _DEF_GC,
-                 gc_bwd: int = _DEF_GC_BWD):
+                 gc_bwd: int = _DEF_GC_BWD, binning: str = "auto",
+                 max_box_px=None):
     """Rasterize Gaussians given in pixel units onto a (H, W) canvas.
 
     Args:
@@ -527,6 +752,13 @@ def gs_render_px(geom, colors, canvas_hw: Sequence[int], *,
         box is inclusive.
       colors: (S, C) alpha-premultiplied colors.
       canvas_hw: static (H, W).
+      binning: "auto" uses the exact-binned forward for large renders (with
+        a runtime fallback to the chunk-bbox path), "on" forces it, "off"
+        disables it.
+      max_box_px: optional static (box_h, box_w) upper bound on any cull-box
+        extent in pixels (e.g. dmax-derived); sizes the coarse bins. Without
+        it coarse bins cover the whole canvas, which is correct but slower
+        when many Gaussians are coarse-class.
     Returns: (H, W, C) float32.
     """
     h, w = int(canvas_hw[0]), int(canvas_hw[1])
@@ -534,16 +766,32 @@ def gs_render_px(geom, colors, canvas_hw: Sequence[int], *,
     geom = geom.astype(jnp.float32)
     colors = colors.astype(jnp.float32)
 
+    # The segment-binned forward requires the corner-key sort below, so it
+    # only engages when the spatial sort runs.
+    ry = rx = 0
+    if (spatial_sort and s > gc
+            and (binning == "on" or (binning == "auto" and s // gc >= 16))):
+        mbh, mbw = max_box_px if max_box_px is not None else (h, w)
+        ry = min(_cdiv(h, _DEF_TH_BIN), _cdiv(int(mbh) + 2, _DEF_TH_BIN))
+        rx = min(_cdiv(w, tw), _cdiv(int(mbw) + 2, tw))
+
     if spatial_sort and s > gc:
         g = jax.lax.stop_gradient(geom)
-        cyx = jnp.clip(g[:, G_CY], 0, h - 1).astype(jnp.int32) // th
-        cxx = jnp.clip(g[:, G_CX], 0, w - 1).astype(jnp.int32) // tw
-        key = cyx * _cdiv(w, tw) + cxx
+        if ry > 0:
+            key, _ = _corner_key(g.T, h=h, w=w, th=_DEF_TH_BIN, tw=tw,
+                                 ry=ry, rx=rx)
+        else:
+            cyx = jnp.clip(g[:, G_CY], 0, h - 1).astype(jnp.int32) // th
+            cxx = jnp.clip(g[:, G_CX], 0, w - 1).astype(jnp.int32) // tw
+            key = (cyx * _cdiv(w, tw) + cxx).astype(jnp.int32)
         perm = jnp.argsort(key, stable=True)
         geom = jnp.take(geom, perm, axis=0)
         colors = jnp.take(colors, perm, axis=0)
 
     align = max(gc, gc_bwd)
+    if ry > 0:
+        align = max(align, _DEF_GC_BIN)
+        assert align % _DEF_GC_BIN == 0, (align, _DEF_GC_BIN)
     assert align % min(gc, gc_bwd) == 0, (gc, gc_bwd)
     sp = _cdiv(s, align) * align
     pad = sp - s
@@ -557,7 +805,7 @@ def gs_render_px(geom, colors, canvas_hw: Sequence[int], *,
         colors = jnp.pad(colors, ((0, pad), (0, 0)))
 
     # Transpose to gaussians-along-lanes; autodiff maps grads back.
-    return _raster_core(geom.T, colors.T, h, w, th, tw, gc, gc_bwd)
+    return _raster_core(geom.T, colors.T, h, w, th, tw, gc, gc_bwd, ry, rx)
 
 
 def pack_geometry(sigmas, coords, image_size, dmax, y_offset=None,
@@ -621,7 +869,7 @@ def pack_geometry(sigmas, coords, image_size, dmax, y_offset=None,
 def gs_render(sigmas, coords, colors, image_size: Sequence[int], dmax=100.0,
               *, spatial_sort: bool = True, th: int = _DEF_TH,
               tw: int = _DEF_TW, gc: int = _DEF_GC,
-              gc_bwd: int = _DEF_GC_BWD):
+              gc_bwd: int = _DEF_GC_BWD, binning: str = "auto"):
     """Render S Gaussians in the reference's normalized convention.
 
     Drop-in equivalent of the reference `gaussiansplatting_render`
@@ -639,5 +887,11 @@ def gs_render(sigmas, coords, colors, image_size: Sequence[int], dmax=100.0,
     h, w = int(image_size[0]), int(image_size[1])
     geom = pack_geometry(sigmas.astype(jnp.float32),
                          coords.astype(jnp.float32), (h, w), dmax)
+    # With a static dmax the cull-box extents are bounded by 2*dmax*half
+    # per axis — size the binned forward's coarse bins to that.
+    max_box_px = None
+    if isinstance(dmax, (int, float)):
+        max_box_px = (min(h, dmax * (h - 1) + 1), min(w, dmax * (w - 1) + 1))
     return gs_render_px(geom, colors, (h, w), spatial_sort=spatial_sort,
-                        th=th, tw=tw, gc=gc, gc_bwd=gc_bwd)
+                        th=th, tw=tw, gc=gc, gc_bwd=gc_bwd, binning=binning,
+                        max_box_px=max_box_px)

@@ -261,6 +261,14 @@ def render_training_batch(
     geoms, colors = jax.vmap(one)(
         gs_parameters, jnp.asarray(scales, jnp.float32),
         jnp.asarray(gt_h), jnp.asarray(gt_w), jnp.arange(b))
+    # Static box bound for the binned forward's coarse bins: with fixed dmax
+    # the cull box spans at most dmax*(dim-1) pixels per axis (each sample's
+    # effective dims are <= the canvas slot dims).
+    max_box_px = None
+    if if_dmax and dmax_mode != "dynamic" and isinstance(dmax, (int, float)):
+        max_box_px = (min(hmax, dmax * (hmax - 1) + 1),
+                      min(wmax, dmax * (wmax - 1) + 1))
     canvas = gs_render_px(geoms.reshape(b * n, GEOM_COLS),
-                          colors.reshape(b * n, 3), (b * hmax, wmax))
+                          colors.reshape(b * n, 3), (b * hmax, wmax),
+                          max_box_px=max_box_px)
     return canvas.reshape(b, hmax, wmax, 3)

@@ -180,3 +180,79 @@ def test_windowed_forward_matches(rng):
         outs.append(out)
     # windowed (sorted) vs dense-fallback (unsorted) must agree to fp noise
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Exact-binned forward (_raster_fwd_call_binned)
+# ---------------------------------------------------------------------------
+
+
+def _mixed_gaussians(rng, s):
+    """Half sharp (fine class), half wide (coarse class), some off-canvas."""
+    sigmas = 0.999 * rng.random((s, 3), dtype=np.float32)
+    sigmas[: s // 2, :2] = 0.2 * sigmas[: s // 2, :2] + 1e-3
+    sigmas[s // 2:, :2] = 5 * sigmas[s // 2:, :2] + 0.5
+    coords = 2.4 * rng.random((s, 2), dtype=np.float32) - 1.2  # some outside
+    colors = rng.random((s, 3), dtype=np.float32)
+    return jnp.asarray(sigmas), jnp.asarray(coords), jnp.asarray(colors)
+
+
+@pytest.mark.parametrize("s,size,dmax", [
+    (512, (40, 140), 0.3),
+    (2048, (64, 256), 0.15),
+    (700, (33, 129), 100.0),   # no culling: coarse bins = whole canvas
+])
+def test_binned_forward_matches_reference(rng, s, size, dmax):
+    sigmas, coords, colors = _mixed_gaussians(rng, s)
+    ref = gs_render_reference(sigmas, coords, colors, size, dmax)
+    out = gs_render(sigmas, coords, colors, size, dmax, gc=256,
+                    binning="on")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_binned_overflow_falls_back(rng):
+    # Everything concentrated in one tile: per-tile list capacity (sized for
+    # a uniform layout) must overflow and the runtime cond must deliver the
+    # windowed/dense result instead — still exact.
+    s, size, dmax = 1024, (64, 256), 0.2
+    sigmas = jnp.asarray(
+        0.05 * rng.random((s, 3), dtype=np.float32) + 1e-3)
+    coords = jnp.asarray(
+        0.01 * rng.random((s, 2), dtype=np.float32) - 0.9)  # one corner
+    colors = jnp.asarray(rng.random((s, 3), dtype=np.float32))
+    ref = gs_render_reference(sigmas, coords, colors, size, dmax)
+    out = gs_render(sigmas, coords, colors, size, dmax, gc=256,
+                    binning="on")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_binned_gradients_match(rng):
+    s, size, dmax = 512, (40, 140), 0.3
+    sigmas, coords, colors = _mixed_gaussians(rng, s)
+    weight = jnp.asarray(rng.random((size[0], size[1], 3), dtype=np.float32))
+
+    def loss_ref(sg, co, cl):
+        return jnp.sum(weight * gs_render_reference(sg, co, cl, size, dmax))
+
+    def loss_bin(sg, co, cl):
+        return jnp.sum(weight * gs_render(sg, co, cl, size, dmax, gc=256,
+                                          binning="on"))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(sigmas, coords, colors)
+    g_bin = jax.grad(loss_bin, argnums=(0, 1, 2))(sigmas, coords, colors)
+    for a, b, name in zip(g_bin, g_ref, ["sigmas", "coords", "colors"]):
+        # rtol/atol 1e-3: the wide-sigma half produces grads ~1e2-1e3 (and
+        # near-cancelling coord grads) where f32 summation-order noise
+        # exceeds the 1e-4 used for the sharp sets.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3, err_msg=name)
+
+
+def test_binned_deterministic(rng):
+    sigmas, coords, colors = _mixed_gaussians(rng, 600)
+    size = (40, 132)
+    a = np.asarray(gs_render(sigmas, coords, colors, size, 0.3, binning="on"))
+    b = np.asarray(gs_render(sigmas, coords, colors, size, 0.3, binning="on"))
+    np.testing.assert_array_equal(a, b)
