@@ -165,6 +165,72 @@ def _fwd_kernel(bbox_ref, geom_ref, col_ref, out_ref, *, th, tw, n_tw, nc):
         out_ref[0, :, :] += contrib
 
 
+def _bwd_body(geom_ref, col_ref, gt, tile_i, tile_j, th, tw, dgeom_ref,
+              dcol_ref):
+    """Shared analytic-gradient body (gs.cu:139-159) for one (chunk, tile).
+
+    The per-pixel factors of each gradient are moments of a_tilde = gw * v
+    against {dx, dy, dx^2, dy^2, dx*dy}; the per-Gaussian coefficients
+    (w1..w4, rho, inv_sigma) are applied AFTER the pixel reduction on (1, gc)
+    rows — ~2x fewer VPU ops on the (p, gc) blocks than evaluating each
+    gradient's integrand separately.
+    """
+    xpix, ypix = _pixel_xy(tile_i, tile_j, th, tw)
+    sx, sy, rho, cx, cy, xlo, xhi, ylo, yhi = _load_rows(geom_ref)
+
+    dx = xpix - cx  # (p, gc)
+    dy = ypix - cy
+
+    inv_sx = 1.0 / sx
+    inv_sy = 1.0 / sy
+    w2 = inv_sx * inv_sx
+    w3 = inv_sx * inv_sy
+    w4 = inv_sy * inv_sy
+    w1 = -0.5 / (1.0 - rho * rho)
+
+    dx2 = dx * dx
+    dy2 = dy * dy
+    dxdy = dx * dy
+    quad = w2 * dx2 - (2.0 * rho * w3) * dxdy + w4 * dy2
+    v = jnp.exp(w1 * quad)
+    mask = (xpix >= xlo) & (xpix <= xhi) & (ypix >= ylo) & (ypix <= yhi)
+    v = jnp.where(mask, v, 0.0)
+
+    # grad colors: sum_p g * v -> (nc, gc), MXU.
+    dcol_ref[...] += jax.lax.dot_general(
+        gt, v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    # gw[p, g] = sum_c g[c, p] * colors[c, g]
+    gw = jax.lax.dot_general(
+        gt, col_ref[...],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    at = gw * v  # (p, gc); the 2*w1 factor is applied post-reduction
+
+    def mom(m):
+        return jnp.sum(at * m, axis=0, keepdims=True)  # (1, gc)
+
+    s_x, s_y = mom(dx), mom(dy)
+    s_xx, s_yy, s_xy = mom(dx2), mom(dy2), mom(dxdy)
+
+    c1 = 2.0 * w1
+    rw3 = rho * w3
+    d_cx = c1 * (rw3 * s_y - w2 * s_x)
+    d_cy = c1 * (rw3 * s_x - w4 * s_y)
+    d_sx = c1 * inv_sx * (rw3 * s_xy - w2 * s_xx)
+    d_sy = c1 * inv_sy * (rw3 * s_xy - w4 * s_yy)
+    s_q = w2 * s_xx - 2.0 * rw3 * s_xy + w4 * s_yy
+    d_rho = -c1 * (2.0 * w1 * rho * s_q + w3 * s_xy)
+
+    zeros = jnp.zeros((GEOM_COLS - 5, d_sx.shape[1]), jnp.float32)
+    upd = jnp.concatenate([d_sx, d_sy, d_rho, d_cx, d_cy, zeros], axis=0)
+    dgeom_ref[...] += upd
+
+
 def _bwd_kernel(bbox_ref, geom_ref, col_ref, g_ref, dgeom_ref, dcol_ref, *,
                 th, tw, n_tw, nc):
     k = pl.program_id(0)
@@ -180,59 +246,11 @@ def _bwd_kernel(bbox_ref, geom_ref, col_ref, g_ref, dgeom_ref, dcol_ref, *,
 
     @pl.when(_overlap(bbox_ref, k, tile_i, tile_j, th, tw))
     def _():
-        xpix, ypix = _pixel_xy(tile_i, tile_j, th, tw)
-        sx, sy, rho, cx, cy, xlo, xhi, ylo, yhi = _load_rows(geom_ref)
-
-        dx = xpix - cx  # (p, gc)
-        dy = ypix - cy
-
-        inv_sx = 1.0 / sx
-        inv_sy = 1.0 / sy
-        w2 = inv_sx * inv_sx
-        w3 = inv_sx * inv_sy
-        w4 = inv_sy * inv_sy
-        w1 = -0.5 / (1.0 - rho * rho)
-
-        dxdy = dx * dy
-        quad = w2 * (dx * dx) - (2.0 * rho * w3) * dxdy + w4 * (dy * dy)
-        v = jnp.exp(w1 * quad)
-        mask = (xpix >= xlo) & (xpix <= xhi) & (ypix >= ylo) & (ypix <= yhi)
-        v = jnp.where(mask, v, 0.0)
-
         # (nc, p) gradient tile: nc along sublanes so the per-step DMA is
         # O(p) bytes (a (p, nc) block lane-pads nc -> 128 and costs ~1MB
         # per grid step).
-        gt = g_ref[0, :, :]
-
-        # grad colors: sum_p g * v -> (nc, gc), MXU.
-        dcol_ref[...] += jax.lax.dot_general(
-            gt, v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-        # gw[p, g] = sum_c g[c, p] * colors[c, g]
-        gw = jax.lax.dot_general(
-            gt, col_ref[...],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        a = gw * v * (2.0 * w1)  # (p, gc)
-
-        # Analytic gradients (gs.cu:139-159), in pixel units; reduce over
-        # the pixel (sublane) axis to (1, gc) rows.
-        d_cx = jnp.sum(a * (rho * w3 * dy - w2 * dx), axis=0, keepdims=True)
-        d_cy = jnp.sum(a * (rho * w3 * dx - w4 * dy), axis=0, keepdims=True)
-        d_sx = jnp.sum(a * inv_sx * (rho * w3 * dxdy - w2 * dx * dx), axis=0,
-                       keepdims=True)
-        d_sy = jnp.sum(a * inv_sy * (rho * w3 * dxdy - w4 * dy * dy), axis=0,
-                       keepdims=True)
-        d_rho = jnp.sum(-a * (2.0 * w1 * rho * quad + w3 * dxdy), axis=0,
-                        keepdims=True)
-
-        zeros = jnp.zeros((GEOM_COLS - 5, d_sx.shape[1]), jnp.float32)
-        upd = jnp.concatenate([d_sx, d_sy, d_rho, d_cx, d_cy, zeros], axis=0)
-        dgeom_ref[...] += upd
+        _bwd_body(geom_ref, col_ref, g_ref[0, :, :], tile_i, tile_j, th, tw,
+                  dgeom_ref, dcol_ref)
 
 
 def _fwd_kernel_windowed(ranges_ref, bbox_ref, geom_ref, col_ref, out_ref,
@@ -275,6 +293,44 @@ def _fwd_kernel_windowed(ranges_ref, bbox_ref, geom_ref, col_ref, out_ref,
             preferred_element_type=jnp.float32,
         )
         out_ref[0, :, :] += contrib
+
+
+def _bwd_tile(rect_ref, k, j, n_tw, nt):
+    """Tile id of the j-th step of chunk k's rectangle walk.
+
+    rect rows: [row0, col0, ncols, count]; step j maps to
+    (row0 + j // ncols, col0 + j % ncols), clamped into the grid."""
+    cw = jnp.maximum(rect_ref[2, k], 1)
+    r = j // cw
+    c = j - r * cw
+    t = (rect_ref[0, k] + r) * n_tw + rect_ref[1, k] + c
+    return jnp.clip(t, 0, nt - 1)
+
+
+def _bwd_kernel_windowed(rect_ref, bbox_ref, geom_ref, col_ref, g_ref,
+                         dgeom_ref, dcol_ref, *, th, tw, n_tw, nt, nc):
+    """Backward over per-chunk tile rectangles (scalar prefetch): the j-th
+    step of chunk k visits the j-th tile of the chunk's bbox-overlap
+    rectangle, masked past its true tile count. Analytic gradient body is
+    identical to `_bwd_kernel`; the bbox test stays to null rectangle tiles
+    the chunk union-box doesn't actually reach."""
+    k = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        dgeom_ref[...] = jnp.zeros_like(dgeom_ref)
+        dcol_ref[...] = jnp.zeros_like(dcol_ref)
+
+    t = _bwd_tile(rect_ref, k, j, n_tw, nt)
+    tile_i = t // n_tw
+    tile_j = t - tile_i * n_tw
+
+    @pl.when((j < rect_ref[3, k])
+             & _overlap(bbox_ref, k, tile_i, tile_j, th, tw))
+    def _():
+        _bwd_body(geom_ref, col_ref, g_ref[0, :, :], tile_i, tile_j, th, tw,
+                  dgeom_ref, dcol_ref)
 
 
 def _seg_chunk(tab_ref, t, k, kc):
@@ -469,7 +525,17 @@ def _corner_key(geom_t, *, h, w, th, tw, ry, rx):
     key = jnp.where(
         fine, fy0 * n_tw + fx0,
         jnp.where(coarse, nt + (fy0 // ry) * n_bw + fx0 // rx, nt + nb))
-    return key.astype(jnp.int32), ~jnp.any(bad)
+    # Composite SORT key: within a coarse bin, order by the corner's fine
+    # tile (y-major). The forward's bin-level walk ranges are unchanged
+    # (walk key = composite // nt stays sorted), but the backward's
+    # per-chunk bboxes tighten from bin height to ~box height — directly
+    # cutting its VPU-bound active (pixel, gaussian) volume.
+    if nt * (nt + nb + 1) < 2**31:
+        sub = jnp.where(coarse, fy0 * n_tw + fx0, 0)
+        composite = key * nt + sub
+    else:  # int32 overflow guard for huge canvases: plain walk-key order
+        composite = key
+    return key.astype(jnp.int32), composite.astype(jnp.int32), ~jnp.any(bad)
 
 
 def _segment_tables(bounds, *, n_th, n_tw, ry, rx, gc, kc):
@@ -544,7 +610,7 @@ def _raster_fwd_call_binned(geom_t, col_t, *, h, w, th, tw, gc, ry, rx,
     kc = sp // gc
     p = th * tw
 
-    key, ok = _corner_key(geom_t, h=h, w=w, th=th, tw=tw, ry=ry, rx=rx)
+    key, _, ok = _corner_key(geom_t, h=h, w=w, th=th, tw=tw, ry=ry, rx=rx)
     bounds = jnp.searchsorted(
         key, jnp.arange(nt + nb + 1, dtype=jnp.int32)).astype(jnp.int32)
     tab, total = _segment_tables(bounds, n_th=n_th, n_tw=n_tw, ry=ry, rx=rx,
@@ -644,8 +710,43 @@ def _raster_fwd_call(geom_t, col_t, *, h, w, th, tw, gc):
     return img[:h, :w]
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "th", "tw", "gc"))
-def _raster_bwd_call(geom_t, col_t, g_img, *, h, w, th, tw, gc):
+def _chunk_tile_rects(bbox, *, h, w, th, tw, n_th, n_tw):
+    """Per-chunk tile rectangles (4, kc) int32 [row0, col0, ncols, count].
+
+    The rectangle of compute tiles a chunk's union cull box overlaps; `count`
+    = nrows * ncols is the walk length of `_bwd_kernel_windowed`. Chunks
+    whose box misses the canvas get count 0."""
+    xlo = jnp.clip(bbox[0], 0.0, float(w - 1))
+    xhi = jnp.clip(bbox[1], 0.0, float(w - 1))
+    ylo = jnp.clip(bbox[2], 0.0, float(h - 1))
+    yhi = jnp.clip(bbox[3], 0.0, float(h - 1))
+    vis = (bbox[0] <= w - 1) & (bbox[1] >= 0) & (bbox[2] <= h - 1) \
+        & (bbox[3] >= 0) & (bbox[1] >= bbox[0]) & (bbox[3] >= bbox[2])
+    row0 = (ylo // th).astype(jnp.int32)
+    row1 = (yhi // th).astype(jnp.int32)
+    col0 = (xlo // tw).astype(jnp.int32)
+    col1 = (xhi // tw).astype(jnp.int32)
+    nrows = row1 - row0 + 1
+    ncols = col1 - col0 + 1
+    cnt = jnp.where(vis, nrows * ncols, 0).astype(jnp.int32)
+    return jnp.stack(
+        [jnp.where(vis, row0, 0), jnp.where(vis, col0, 0),
+         jnp.maximum(ncols, 1), cnt], axis=0)
+
+
+def _bwd_gtile(g_img, *, h, w, th, tw, n_th, n_tw, nc):
+    """Output cotangent -> per-tile (nt, nc, p) blocks (nc along sublanes so
+    the per-step DMA is O(p) bytes)."""
+    p = th * tw
+    gpad = jnp.zeros((n_th * th, n_tw * tw, nc), jnp.float32)
+    gpad = gpad.at[:h, :w].set(g_img)
+    gtile = gpad.reshape(n_th, th, n_tw, tw, nc).transpose(0, 2, 4, 1, 3)
+    return gtile.reshape(n_th * n_tw, nc, p)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "th", "tw", "gc", "window"))
+def _raster_bwd_call(geom_t, col_t, g_img, *, h, w, th, tw, gc, window=0):
     sp = geom_t.shape[1]
     nc = col_t.shape[0]
     kc = sp // gc
@@ -654,37 +755,79 @@ def _raster_bwd_call(geom_t, col_t, g_img, *, h, w, th, tw, gc):
     nt = n_th * n_tw
     p = th * tw
 
-    gpad = jnp.zeros((n_th * th, n_tw * tw, nc), jnp.float32)
-    gpad = gpad.at[:h, :w].set(g_img)
-    gtile = gpad.reshape(n_th, th, n_tw, tw, nc).transpose(0, 2, 4, 1, 3)
-    gtile = gtile.reshape(nt, nc, p)
-
+    gtile = _bwd_gtile(g_img, h=h, w=w, th=th, tw=tw, n_th=n_th, n_tw=n_tw,
+                       nc=nc)
     bbox = _chunk_bboxes(geom_t, gc)
-    kernel = functools.partial(_bwd_kernel, th=th, tw=tw, n_tw=n_tw, nc=nc)
+    out_shape = [
+        jax.ShapeDtypeStruct((GEOM_COLS, sp), jnp.float32),
+        jax.ShapeDtypeStruct((nc, sp), jnp.float32),
+    ]
 
-    dgeom, dcol = pl.pallas_call(
-        kernel,
-        grid=(kc, nt),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # bbox (4, kc)
-            pl.BlockSpec((GEOM_COLS, gc), lambda k, t: (0, k)),
-            pl.BlockSpec((nc, gc), lambda k, t: (0, k)),
-            pl.BlockSpec((1, nc, p), lambda k, t: (t, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((GEOM_COLS, gc), lambda k, t: (0, k)),
-            pl.BlockSpec((nc, gc), lambda k, t: (0, k)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((GEOM_COLS, sp), jnp.float32),
-            jax.ShapeDtypeStruct((nc, sp), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-        interpret=_interpret(),
-    )(bbox, geom_t, col_t, gtile)
-    return dgeom, dcol
+    def dense(args):
+        geom_t, col_t, gtile, bbox, _ = args
+        kernel = functools.partial(_bwd_kernel, th=th, tw=tw, n_tw=n_tw,
+                                   nc=nc)
+        return pl.pallas_call(
+            kernel,
+            grid=(kc, nt),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # bbox (4, kc)
+                pl.BlockSpec((GEOM_COLS, gc), lambda k, t: (0, k)),
+                pl.BlockSpec((nc, gc), lambda k, t: (0, k)),
+                pl.BlockSpec((1, nc, p), lambda k, t: (t, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((GEOM_COLS, gc), lambda k, t: (0, k)),
+                pl.BlockSpec((nc, gc), lambda k, t: (0, k)),
+            ],
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            interpret=_interpret(),
+        )(bbox, geom_t, col_t, gtile)
+
+    if window <= 0 or window >= nt:
+        return dense((geom_t, col_t, gtile, bbox, None))
+
+    rect = _chunk_tile_rects(bbox, h=h, w=w, th=th, tw=tw, n_th=n_th,
+                             n_tw=n_tw)
+    overflow = jnp.any(rect[3] > window)
+
+    def windowed(args):
+        geom_t, col_t, gtile, bbox, rect = args
+        kernel = functools.partial(_bwd_kernel_windowed, th=th, tw=tw,
+                                   n_tw=n_tw, nt=nt, nc=nc)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(kc, window),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # bbox (4, kc)
+                pl.BlockSpec((GEOM_COLS, gc),
+                             lambda k, j, rect_ref: (0, k)),
+                pl.BlockSpec((nc, gc), lambda k, j, rect_ref: (0, k)),
+                pl.BlockSpec(
+                    (1, nc, p),
+                    lambda k, j, rect_ref: (
+                        _bwd_tile(rect_ref, k, j, n_tw, nt), 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((GEOM_COLS, gc), lambda k, j, rect_ref: (0, k)),
+                pl.BlockSpec((nc, gc), lambda k, j, rect_ref: (0, k)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            interpret=_interpret(),
+        )(rect, bbox, geom_t, col_t, gtile)
+
+    return jax.lax.cond(overflow, dense, windowed,
+                        (geom_t, col_t, gtile, bbox, rect))
 
 
 # ---------------------------------------------------------------------------
@@ -712,22 +855,23 @@ def _fwd_dispatch(geom, col, h, w, th, tw, gc, ry, rx):
     return _raster_fwd_call(geom, col, h=h, w=w, th=th, tw=tw, gc=gc)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
-def _raster_core(geom, col, h, w, th, tw, gc, gc_bwd, ry, rx):
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
+def _raster_core(geom, col, h, w, th, tw, gc, gc_bwd, ry, rx, window_bwd):
     return _fwd_dispatch(geom, col, h, w, th, tw, gc, ry, rx)
 
 
-def _raster_core_fwd(geom, col, h, w, th, tw, gc, gc_bwd, ry, rx):
+def _raster_core_fwd(geom, col, h, w, th, tw, gc, gc_bwd, ry, rx, window_bwd):
     out = _fwd_dispatch(geom, col, h, w, th, tw, gc, ry, rx)
     return out, (geom, col)
 
 
-def _raster_core_bwd(h, w, th, tw, gc, gc_bwd, ry, rx, res, g):
+def _raster_core_bwd(h, w, th, tw, gc, gc_bwd, ry, rx, window_bwd, res, g):
     # Backward runs with its own smaller tile/chunk so its ~8 concurrent
     # (th_bwd*tw, gc_bwd) f32 temporaries fit the ~16MB VMEM budget.
     geom, col = res
     dgeom, dcol = _raster_bwd_call(geom, col, g, h=h, w=w, th=_DEF_TH_BWD,
-                                   tw=tw, gc=gc_bwd)
+                                   tw=tw, gc=gc_bwd, window=window_bwd)
     return dgeom, dcol
 
 
@@ -778,8 +922,8 @@ def gs_render_px(geom, colors, canvas_hw: Sequence[int], *,
     if spatial_sort and s > gc:
         g = jax.lax.stop_gradient(geom)
         if ry > 0:
-            key, _ = _corner_key(g.T, h=h, w=w, th=_DEF_TH_BIN, tw=tw,
-                                 ry=ry, rx=rx)
+            _, key, _ = _corner_key(g.T, h=h, w=w, th=_DEF_TH_BIN, tw=tw,
+                                    ry=ry, rx=rx)
         else:
             cyx = jnp.clip(g[:, G_CY], 0, h - 1).astype(jnp.int32) // th
             cxx = jnp.clip(g[:, G_CX], 0, w - 1).astype(jnp.int32) // tw
@@ -804,8 +948,33 @@ def gs_render_px(geom, colors, canvas_hw: Sequence[int], *,
         geom = jnp.concatenate([geom, jnp.tile(pad_geom, (pad, 1))], axis=0)
         colors = jnp.pad(colors, ((0, pad), (0, 0)))
 
+    # Backward tile-rectangle window (0 = dense (kc, nt) walk): sized so a
+    # sorted chunk's union bbox — cull-box extent plus up to two corner
+    # bins / key tiles of sort locality — fits; a runtime overflow check
+    # falls back to the dense walk, so the bound only affects speed.
+    window_bwd = 0
+    sp = geom.shape[0]
+    if max_box_px is not None and sp // gc_bwd >= 8:
+        import math as _m
+        mbh_i = int(_m.ceil(float(max_box_px[0])))
+        mbw_i = int(_m.ceil(float(max_box_px[1])))
+        bw_nth = _cdiv(h, _DEF_TH_BWD)
+        bw_ntw = _cdiv(w, tw)
+        if ry > 0:
+            # Corner-key sort with within-bin fine subkey: a chunk's bbox
+            # spans at most its cull-box extent plus one coarse bin (only
+            # bin-boundary chunks reach the bin term).
+            rows = min(bw_nth, _cdiv(mbh_i, _DEF_TH_BWD) + ry + 4)
+            cols = min(bw_ntw, _cdiv(mbw_i, tw) + rx + 2)
+        else:
+            rows = min(bw_nth, 3 * _cdiv(mbh_i, _DEF_TH_BWD) + 6)
+            cols = min(bw_ntw, 3 * _cdiv(mbw_i, tw) + 4)
+        if rows * cols <= (bw_nth * bw_ntw) // 2:
+            window_bwd = rows * cols
+
     # Transpose to gaussians-along-lanes; autodiff maps grads back.
-    return _raster_core(geom.T, colors.T, h, w, th, tw, gc, gc_bwd, ry, rx)
+    return _raster_core(geom.T, colors.T, h, w, th, tw, gc, gc_bwd, ry, rx,
+                        window_bwd)
 
 
 def pack_geometry(sigmas, coords, image_size, dmax, y_offset=None,

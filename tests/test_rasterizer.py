@@ -256,3 +256,95 @@ def test_binned_deterministic(rng):
     a = np.asarray(gs_render(sigmas, coords, colors, size, 0.3, binning="on"))
     b = np.asarray(gs_render(sigmas, coords, colors, size, 0.3, binning="on"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_windowed_backward_matches(rng):
+    """Enough chunks + small cull boxes to engage the windowed backward
+    (per-chunk tile-rectangle walks); grads must match the dense autodiff
+    reference."""
+    s, size, dmax = 1100, (256, 256), 0.05
+    sigmas, coords, colors = _random_gaussians(rng, s)
+    weight = jnp.asarray(rng.random((size[0], size[1], 3), dtype=np.float32))
+
+    from gsasr_tpu.ops import rasterizer as R
+    # reproduce gs_render_px's sizing: window engages for this config
+    mbh = dmax * (size[0] - 1) + 1
+    rows = min(-(-size[0] // R._DEF_TH_BWD),
+               3 * -(-int(np.ceil(mbh)) // R._DEF_TH_BWD) + 6)
+    cols = min(-(-size[1] // R._DEF_TW), 3 + 4)
+    nt_b = -(-size[0] // R._DEF_TH_BWD) * -(-size[1] // R._DEF_TW)
+    assert rows * cols <= nt_b // 2, "test no longer engages the window"
+
+    def loss_ref(sg, co, cl):
+        return jnp.sum(weight * gs_render_reference(sg, co, cl, size, dmax))
+
+    def loss_pal(sg, co, cl):
+        return jnp.sum(weight * gs_render(sg, co, cl, size, dmax,
+                                          gc_bwd=128))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(sigmas, coords, colors)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2))(sigmas, coords, colors)
+    for a, b, name in zip(g_pal, g_ref, ["sigmas", "coords", "colors"]):
+        # 1e-3 like test_binned_gradients_match: check.py's wide-sigma
+        # distribution produces near-cancelling coord grads where f32
+        # summation-order noise exceeds 1e-4. (The windowed backward is
+        # bitwise-identical to the dense pallas backward — verified
+        # directly — so this tolerance is purely pallas-vs-autodiff.)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3, err_msg=name)
+
+
+def test_windowed_backward_overflow_falls_back(rng):
+    """Unsorted input makes every chunk's bbox span the canvas -> the
+    runtime overflow check must route to the dense backward, still exact."""
+    s, size, dmax = 1100, (256, 256), 0.05
+    sigmas, coords, colors = _random_gaussians(rng, s)
+    weight = jnp.asarray(rng.random((size[0], size[1], 3), dtype=np.float32))
+
+    def loss_ref(sg, co, cl):
+        return jnp.sum(weight * gs_render_reference(sg, co, cl, size, dmax))
+
+    def loss_pal(sg, co, cl):
+        return jnp.sum(weight * gs_render(sg, co, cl, size, dmax,
+                                          gc_bwd=128, spatial_sort=False))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(sigmas, coords, colors)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2))(sigmas, coords, colors)
+    for a, b, name in zip(g_pal, g_ref, ["sigmas", "coords", "colors"]):
+        # 1e-3: wide-sigma f32 summation noise (see the matching comment in
+        # test_windowed_backward_matches).
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3, err_msg=name)
+
+
+def test_windowed_backward_bitwise_vs_dense(rng):
+    """The windowed backward must be bitwise-identical to the dense walk:
+    it visits the same (chunk, tile) pairs in the same ascending-tile order,
+    only skipping pairs the bbox test would reject anyway."""
+    from gsasr_tpu.ops import rasterizer as R
+    s, size, dmax = 1100, (256, 256), 0.05
+    sigmas, coords, colors = _random_gaussians(rng, s)
+    h, w = size
+    geom = R.pack_geometry(sigmas, coords, (h, w), dmax)
+    g = np.asarray(geom)
+    cyx = np.clip(g[:, R.G_CY], 0, h - 1).astype(np.int64) // R._DEF_TH
+    cxx = np.clip(g[:, R.G_CX], 0, w - 1).astype(np.int64) // R._DEF_TW
+    perm = np.argsort(cyx * (-(-w // R._DEF_TW)) + cxx, kind="stable")
+    gc_bwd = 128
+    sp = -(-s // 1024) * 1024
+    pg = np.zeros((sp - s, R.GEOM_COLS), np.float32)
+    pg[:, R.G_SX] = 1.0
+    pg[:, R.G_SY] = 1.0
+    for ci in (R.G_CX, R.G_CY, R.G_XLO, R.G_XHI, R.G_YLO, R.G_YHI):
+        pg[:, ci] = 1e9
+    geom = jnp.concatenate([jnp.asarray(g[perm]), jnp.asarray(pg)], 0)
+    cols_in = jnp.concatenate(
+        [jnp.asarray(np.asarray(colors)[perm]),
+         jnp.zeros((sp - s, 3), jnp.float32)], 0)
+    gimg = jnp.asarray(rng.random((h, w, 3), dtype=np.float32))
+    dense = R._raster_bwd_call(geom.T, cols_in.T, gimg, h=h, w=w, th=8,
+                               tw=128, gc=gc_bwd, window=0)
+    win = R._raster_bwd_call(geom.T, cols_in.T, gimg, h=h, w=w, th=8,
+                             tw=128, gc=gc_bwd, window=24)
+    for a, b in zip(dense, win):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
