@@ -14,6 +14,32 @@ from __future__ import annotations
 import argparse
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
+def parse_multipart(content_type: str, body: bytes) -> dict:
+    """Minimal multipart/form-data parser (the stdlib `cgi` module is
+    deprecated/removed in new Pythons). Returns {field_name: bytes}."""
+    fields = {}
+    if "boundary=" not in content_type:
+        return fields
+    boundary = content_type.split("boundary=")[1].split(";")[0].strip()
+    sep = ("--" + boundary).encode()
+    for part in body.split(sep):
+        if b"\r\n\r\n" not in part:
+            continue
+        head, _, payload = part.partition(b"\r\n\r\n")
+        # the payload is terminated by exactly one CRLF before the next
+        # boundary marker; rstrip would eat legitimate trailing image bytes
+        if payload.endswith(b"\r\n"):
+            payload = payload[:-2]
+        name = None
+        for line in head.split(b"\r\n"):
+            low = line.lower()
+            if low.startswith(b"content-disposition") and b"name=" in line:
+                name = line.split(b"name=")[1].split(b";")[0].strip(b'" ')
+        if name:
+            fields[name.decode()] = payload
+    return fields
+
+
 _FORM = b"""<!doctype html><title>GSASR-TPU demo</title>
 <h2>GSASR-TPU: arbitrary-scale super-resolution</h2>
 <form method=post enctype=multipart/form-data action=/sr>
@@ -81,13 +107,12 @@ def main():
             self.wfile.write(_FORM)
 
         def do_POST(self):
-            import cgi
-            form = cgi.FieldStorage(
-                fp=self.rfile, headers=self.headers,
-                environ={"REQUEST_METHOD": "POST",
-                         "CONTENT_TYPE": self.headers["Content-Type"]})
-            data = form["image"].file.read()
-            scale = float(form.getvalue("scale", "4"))
+            length = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(length)
+            fields = parse_multipart(self.headers.get("Content-Type", ""),
+                                     body)
+            data = fields.get("image", b"")
+            scale = float(fields.get("scale", b"4").decode() or "4")
             img = cv2.imdecode(np.frombuffer(data, np.uint8),
                                cv2.IMREAD_COLOR)
             if img is None:

@@ -27,6 +27,9 @@ def main():
         import jax
         jax.distributed.initialize()
 
+    from gsasr_tpu.utils.env import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
