@@ -107,3 +107,45 @@ def test_lmdb_writer_gated():
     if not have:
         with pytest.raises((ImportError, ValueError)):
             LmdbMaker("/tmp/x.lmdb")
+
+
+def test_message_logger_and_avg_timer(tmp_path, caplog):
+    """MessageLogger formats epoch/iter/lr/eta + metrics and writes
+    tensorboard scalars (torch's SummaryWriter is available in-image);
+    AvgTimer windows its average (`logger.py:10-117` equivalents)."""
+    import logging as _logging
+    import time
+
+    from gsasr_tpu.utils.logging import AvgTimer, MessageLogger
+
+    tb_dir = str(tmp_path / "tb")
+    ml = MessageLogger(total_iter=1000, start_iter=0, tb_dir=tb_dir)
+    records = []
+
+    class _Cap(_logging.Handler):
+        def emit(self, rec):
+            records.append(rec.getMessage())
+
+    ml.logger.addHandler(_Cap())
+    try:
+        ml(100, 2, 1.5e-4, {"l_pix": 0.1234}, iter_time=0.5)
+        ml.log_validation(100, "val_set", {"psnr": 30.12, "ssim": 0.91})
+    finally:
+        ml.logger.handlers = [h for h in ml.logger.handlers
+                              if not isinstance(h, _Cap)]
+    text = "\n".join(records)
+    assert "iter:     100" in text and "1.500e-04" in text
+    assert "l_pix: 1.2340e-01" in text and "eta:" in text
+    assert "Validation val_set" in text and "psnr: 30.1200" in text
+    if ml.tb is not None:
+        ml.tb.flush()
+        import os
+        assert any(f.startswith("events") for f in os.listdir(tb_dir))
+
+    t = AvgTimer(window=3)
+    for _ in range(5):
+        t.start()
+        time.sleep(0.01)
+        t.record()
+    assert len(t.times) == 3
+    assert 0.005 < t.get_avg_time() < 0.1
