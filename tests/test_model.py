@@ -23,7 +23,11 @@ def tiny():
     return enc, dec, ep, dp
 
 
-@pytest.mark.parametrize("hw,scale", [((12, 16), 2.0), ((10, 13), 3.3)])
+@pytest.mark.parametrize("hw,scale", [
+    ((12, 16), 2.0), ((10, 13), 3.3),
+    # BASELINE.json arbitrary-scale configs: fractional x6.5, large x12
+    ((8, 9), 6.5), ((6, 7), 12.0),
+])
 def test_sr_forward_shapes(tiny, rng, hw, scale):
     from gsasr_tpu.model import sr_forward
 
