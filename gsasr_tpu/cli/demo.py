@@ -21,6 +21,8 @@ def parse_multipart(content_type: str, body: bytes) -> dict:
     if "boundary=" not in content_type:
         return fields
     boundary = content_type.split("boundary=")[1].split(";")[0].strip()
+    # RFC 2046 allows (and sometimes requires) a quoted boundary parameter
+    boundary = boundary.strip('"')
     sep = ("--" + boundary).encode()
     for part in body.split(sep):
         if b"\r\n\r\n" not in part:
@@ -32,9 +34,13 @@ def parse_multipart(content_type: str, body: bytes) -> dict:
             payload = payload[:-2]
         name = None
         for line in head.split(b"\r\n"):
-            low = line.lower()
-            if low.startswith(b"content-disposition") and b"name=" in line:
-                name = line.split(b"name=")[1].split(b";")[0].strip(b'" ')
+            if not line.lower().startswith(b"content-disposition"):
+                continue
+            for param in line.split(b";"):
+                key, _, val = param.strip().partition(b"=")
+                # exact parameter match: 'filename=' also contains 'name='
+                if key.strip().lower() == b"name":
+                    name = val.strip().strip(b'"')
         if name:
             fields[name.decode()] = payload
     return fields

@@ -503,8 +503,12 @@ def _corner_key(geom_t, *, h, w, th, tw, ry, rx):
     Key space: [0, nt) fine corner tile | [nt, nt+nb) coarse corner bin |
     nt+nb invisible. Fine = clipped cull box spans <= 2x2 compute tiles;
     coarse = everything else, binned on (ry x rx)-tile super-bins. Returns
-    (key, ok) where ok=False means some coarse box spans > 2x2 bins and the
-    segment walk would MISS contributions — the caller must fall back."""
+    (key, composite, ok): `key` is the walk key above; `composite` is the
+    SORT key (key refined by a within-bin fine-tile subkey, with
+    composite // nt == key so walk-key searchsorted stays valid on a
+    composite-sorted array); ok=False means some coarse box spans > 2x2
+    bins and the segment walk would MISS contributions — the caller must
+    fall back."""
     g = jax.lax.stop_gradient(geom_t)
     xlo, xhi = g[G_XLO], g[G_XHI]
     ylo, yhi = g[G_YLO], g[G_YHI]
@@ -943,8 +947,16 @@ def gs_render_px(geom, colors, canvas_hw: Sequence[int], *,
         pad_geom = jnp.zeros((1, GEOM_COLS), jnp.float32)
         pad_geom = pad_geom.at[0, G_SX].set(1.0)
         pad_geom = pad_geom.at[0, G_SY].set(1.0)
-        for col_i in (G_CX, G_CY, G_XLO, G_XHI, G_YLO, G_YHI):
+        for col_i in (G_CX, G_CY):
             pad_geom = pad_geom.at[0, col_i].set(_PAD)
+        # INVERTED cull boxes (lo=+PAD, hi=-PAD): empty for the per-pixel
+        # mask and the overlap test, AND neutral in chunk-bbox unions —
+        # far-away +PAD boxes would inflate the last chunk's union and
+        # trip the windowed backward's overflow fallback.
+        for col_i in (G_XLO, G_YLO):
+            pad_geom = pad_geom.at[0, col_i].set(_PAD)
+        for col_i in (G_XHI, G_YHI):
+            pad_geom = pad_geom.at[0, col_i].set(-_PAD)
         geom = jnp.concatenate([geom, jnp.tile(pad_geom, (pad, 1))], axis=0)
         colors = jnp.pad(colors, ((0, pad), (0, 0)))
 

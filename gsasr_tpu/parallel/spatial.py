@@ -20,20 +20,16 @@ program-level decision, not a tiling XLA can infer.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+import functools
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from gsasr_tpu.ops.rasterizer import (G_CY, G_YHI, G_YLO, gs_render_px,
-                                      pack_geometry)
-from gsasr_tpu.rendering import (DEFAULT_STEP_SIZE, gs_activations,
-                                 resolve_dmax, to_kernel_units)
-
-
-def _cdiv(a: int, b: int) -> int:
-    return -(-a // b)
+from gsasr_tpu.ops.rasterizer import (G_CY, G_YHI, G_YLO, _cdiv,
+                                      gs_render_px, pack_geometry)
+from gsasr_tpu.rendering import DEFAULT_STEP_SIZE, prepare_kernel_inputs
 
 
 def gs_render_px_banded(geom, colors, canvas_hw: Sequence[int], mesh: Mesh,
@@ -84,19 +80,27 @@ def render_gaussians_banded(
     """Band-parallel equivalent of `rendering.render_gaussians` (same raw
     (N, 9) decoder-output convention). Returns (3, H, W)."""
     sr = (int(sr_size[0]), int(sr_size[1]))
-    step_size = default_step_size / scale
-    sigma_x, sigma_y, rho, coords, colors = gs_activations(gs_parameters)
-    sigmas, kcoords = to_kernel_units(sigma_x, sigma_y, rho, coords, sr,
-                                      step_size)
-    fd = resolve_dmax(dmax, dmax_mode, sr) if if_dmax else 100.0
+    sigmas, kcoords, colors, fd, max_box_px = prepare_kernel_inputs(
+        sr, gs_parameters, scale, default_step_size=default_step_size,
+        if_dmax=if_dmax, dmax_mode=dmax_mode, dmax=dmax)
     geom = pack_geometry(sigmas, kcoords, sr, fd)
-    max_box_px = None
-    if isinstance(fd, (int, float)):
-        max_box_px = (min(sr[0], fd * (sr[0] - 1) + 1),
-                      min(sr[1], fd * (sr[1] - 1) + 1))
     img = gs_render_px_banded(geom, colors, sr, mesh, axis_name=axis_name,
                               max_box_px=max_box_px)
     return img[:sr[0]].transpose(2, 0, 1)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_enc_dec(enc, dec):
+    """Per-(enc, dec) cached jit — a fresh inner @jax.jit per call would
+    re-trace/re-lower the full pipeline every image (10-90s per remote
+    compile on the axon path; see model._jitted_apply)."""
+
+    @jax.jit
+    def enc_dec(enc_params, dec_params, x, scale_vec):
+        feat = enc.apply({"params": enc_params}, x)
+        return dec.apply({"params": dec_params}, feat, scale_vec)
+
+    return enc_dec
 
 
 def sr_forward_spatial(enc, dec, enc_params, dec_params, lq, scale: float,
@@ -125,15 +129,9 @@ def sr_forward_spatial(enc, dec, enc_params, dec_params, lq, scale: float,
         padded, NamedSharding(mesh, P(None, axis_name, None, None)))
     rep = NamedSharding(mesh, P())
 
-    @jax.jit
-    def enc_dec(enc_params, dec_params, x):
-        feat = enc.apply({"params": enc_params}, x)
-        gs = dec.apply({"params": dec_params}, feat,
-                       jnp.full((1,), scale, jnp.float32))
-        return gs
-
-    gs = enc_dec(jax.device_put(enc_params, rep),
-                 jax.device_put(dec_params, rep), x_sharded)
+    gs = _jitted_enc_dec(enc, dec)(
+        jax.device_put(enc_params, rep), jax.device_put(dec_params, rep),
+        x_sharded, jnp.full((1,), scale, jnp.float32))
     gs = jax.device_put(gs, rep)  # replicate for the band render
     img = render_gaussians_banded(pad_sr, gs[0], jnp.float32(scale), mesh,
                                   axis_name=axis_name, dmax_mode=dmax_mode,

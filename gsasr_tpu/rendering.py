@@ -108,6 +108,27 @@ def resolve_dmax(dmax, dmax_mode: str, sr_size):
     raise ValueError(f"dmax_mode '{dmax_mode}' must be 'fix' or 'dynamic'")
 
 
+def prepare_kernel_inputs(sr_size, gs_parameters, scale, *,
+                          default_step_size: float = DEFAULT_STEP_SIZE,
+                          if_dmax: bool = True, dmax_mode: str = "fix",
+                          dmax: float = 25.0):
+    """Shared raw-decoder-output -> rasterizer-input pipeline: activations,
+    kernel-unit conversion, dmax resolution and the static cull-box bound.
+
+    Returns (sigmas, kcoords, colors, final_dmax, max_box_px)."""
+    sr = (int(sr_size[0]), int(sr_size[1]))
+    step_size = default_step_size / scale
+    sigma_x, sigma_y, rho, coords, colors = gs_activations(gs_parameters)
+    sigmas, kcoords = to_kernel_units(sigma_x, sigma_y, rho, coords, sr,
+                                      step_size)
+    final_dmax = resolve_dmax(dmax, dmax_mode, sr) if if_dmax else 100.0
+    max_box_px = None
+    if isinstance(final_dmax, (int, float)):
+        max_box_px = (min(sr[0], final_dmax * (sr[0] - 1) + 1),
+                      min(sr[1], final_dmax * (sr[1] - 1) + 1))
+    return sigmas, kcoords, colors, final_dmax, max_box_px
+
+
 def render_gaussians(
     sr_size: Sequence[int],
     gs_parameters,
@@ -148,7 +169,6 @@ def render_gaussians(
       `rendering_cuda_dmax` :130), or (3, K) if sample_coords is given.
     """
     sr_size = (int(sr_size[0]), int(sr_size[1]))
-    step_size = default_step_size / scale
     import math
 
     n = gs_parameters.shape[0]
@@ -157,13 +177,9 @@ def render_gaussians(
     if use_static_perm:
         perm = _static_lattice_perm(n, sr_size[0], sr_size[1])
         gs_parameters = jnp.take(gs_parameters, jnp.asarray(perm), axis=0)
-    sigma_x, sigma_y, rho, coords, colors = gs_activations(gs_parameters)
-    sigmas, kcoords = to_kernel_units(sigma_x, sigma_y, rho, coords, sr_size,
-                                      step_size)
-    if if_dmax:
-        final_dmax = resolve_dmax(dmax, dmax_mode, sr_size)
-    else:
-        final_dmax = 100.0  # effectively uncullled (gs_cuda path)
+    sigmas, kcoords, colors, final_dmax, _ = prepare_kernel_inputs(
+        sr_size, gs_parameters, scale, default_step_size=default_step_size,
+        if_dmax=if_dmax, dmax_mode=dmax_mode, dmax=dmax)
 
     if use_pallas:
         # With static_perm the tile-coherence comes from the lattice-anchor

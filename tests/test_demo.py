@@ -32,6 +32,20 @@ def test_parse_multipart_binary_safety():
     assert fields["image"] == payload
     assert fields["scale"] == b"3.5"
 
+    # RFC 2046 quoted boundary parameter must parse identically
+    fields_q = parse_multipart(
+        f'multipart/form-data; boundary="{boundary}"', body)
+    assert fields_q == fields
+
+    # RFC 7578 does not constrain parameter order: filename before name
+    body2 = (b"--XBOUND\r\n"
+             b'Content-Disposition: form-data; filename="a.png"; '
+             b'name="image"\r\n'
+             b"Content-Type: image/png\r\n\r\n" + payload + b"\r\n"
+             b"--XBOUND--\r\n")
+    fields2 = parse_multipart("multipart/form-data; boundary=XBOUND", body2)
+    assert fields2["image"] == payload
+
 
 def test_demo_server_end_to_end(tmp_path):
     port = _free_port()

@@ -342,6 +342,12 @@ def test_windowed_backward_bitwise_vs_dense(rng):
         [jnp.asarray(np.asarray(colors)[perm]),
          jnp.zeros((sp - s, 3), jnp.float32)], 0)
     gimg = jnp.asarray(rng.random((h, w, 3), dtype=np.float32))
+    # guard against vacuous passing: the windowed call must NOT take its
+    # runtime dense fallback (otherwise this compares dense vs dense)
+    bbox = R._chunk_bboxes(geom.T, gc_bwd)
+    rect = R._chunk_tile_rects(bbox, h=h, w=w, th=8, tw=128,
+                               n_th=-(-h // 8), n_tw=-(-w // 128))
+    assert int(np.asarray(rect[3]).max()) <= 24, "window overflow: vacuous"
     dense = R._raster_bwd_call(geom.T, cols_in.T, gimg, h=h, w=w, th=8,
                                tw=128, gc=gc_bwd, window=0)
     win = R._raster_bwd_call(geom.T, cols_in.T, gimg, h=h, w=w, th=8,
