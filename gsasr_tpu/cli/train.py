@@ -27,7 +27,7 @@ def main():
         import jax
         jax.distributed.initialize()
 
-    from gsasr_tpu.utils.env import enable_compilation_cache
+    from gsasr_tpu.utils.env import enable_compilation_cache, get_env_info
     enable_compilation_cache()
 
     import jax
@@ -41,6 +41,7 @@ def main():
     from gsasr_tpu.utils.checkpoint import (latest_step, restore_checkpoint,
                                             save_checkpoint)
 
+    print(get_env_info(), flush=True)
     opt = apply_overrides(load_options(args.opt), args.force_yml)
     enc, dec = build_networks(opt)
     cfg = build_train_config(opt)

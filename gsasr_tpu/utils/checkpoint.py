@@ -23,8 +23,14 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 
-def save_checkpoint(directory, step: int, state, *, keep: int = 5):
-    """Save TrainState (gsasr_tpu.train.trainer.TrainState) via orbax."""
+def save_checkpoint(directory, step: int, state, *, keep: int = 5,
+                    retries: int = 3):
+    """Save TrainState (gsasr_tpu.train.trainer.TrainState) via orbax.
+
+    Retries transient IO failures like the reference's save loop
+    (`basicsr/models/base_model.py:238-253`)."""
+    import time
+
     import orbax.checkpoint as ocp
 
     directory = Path(directory).absolute()
@@ -36,8 +42,15 @@ def save_checkpoint(directory, step: int, state, *, keep: int = 5):
                         "step": state.step},
     }
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(directory / str(step), payload, force=True)
-    ckptr.wait_until_finished()
+    for attempt in range(retries):
+        try:
+            ckptr.save(directory / str(step), payload, force=True)
+            ckptr.wait_until_finished()
+            break
+        except Exception:
+            if attempt == retries - 1:
+                raise
+            time.sleep(1.0)
     _prune(directory, keep)
 
 

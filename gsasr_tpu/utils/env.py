@@ -19,3 +19,32 @@ def enable_compilation_cache(path: str = None):
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+
+def get_env_info() -> str:
+    """Runtime environment banner — equivalent of the reference's
+    `get_env_info` (`basicsr/utils/logger.py:188-213`), reporting the
+    TPU-native stack instead of torch/CUDA."""
+    import jax
+
+    lines = [f"jax: {jax.__version__}"]
+    try:
+        import jaxlib
+        lines.append(f"jaxlib: {jaxlib.__version__}")
+    except Exception:
+        pass
+    for mod in ("flax", "optax", "orbax.checkpoint"):
+        try:
+            import importlib
+            m = importlib.import_module(mod)
+            lines.append(f"{mod}: {getattr(m, '__version__', '?')}")
+        except Exception:
+            pass
+    try:
+        devs = jax.devices()
+        lines.append(f"backend: {jax.default_backend()} "
+                     f"({len(devs)}x {devs[0].device_kind})")
+        lines.append(f"process: {jax.process_index()}/{jax.process_count()}")
+    except Exception as e:  # device init can fail in restricted envs
+        lines.append(f"backend: unavailable ({e})")
+    return "\n\t".join(["Environment:"] + lines)

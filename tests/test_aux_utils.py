@@ -149,3 +149,11 @@ def test_message_logger_and_avg_timer(tmp_path, caplog):
         t.record()
     assert len(t.times) == 3
     assert 0.005 < t.get_avg_time() < 0.1
+
+
+def test_get_env_info():
+    from gsasr_tpu.utils.env import get_env_info
+
+    info = get_env_info()
+    assert "jax:" in info and "backend:" in info
+    assert "flax:" in info
