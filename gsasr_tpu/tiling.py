@@ -84,11 +84,21 @@ def split_and_joint_image(lq, scale_factor: float, split_size: int,
         outs.append(np.asarray(sr.transpose(0, 2, 3, 1))[:n])
     sr_tiles = np.concatenate(outs)  # (T, split_sr, split_sr, 3)
 
+    return paste_tiles(sr_tiles, tiles_h, tiles_w, stride_sr, split_sr,
+                       crop_size, fractional=scale_factor
+                       != int(scale_factor))
+
+
+def paste_tiles(sr_tiles, tiles_h: int, tiles_w: int, stride_sr: int,
+                split_sr: int, crop_size: int, *, fractional: bool):
+    """Seam-trimmed tile pasting — the reference's canvas-assembly branch
+    structure (`utils/split_and_joint_image.py:168-225`), separated for
+    direct unit testing. sr_tiles: (tiles_h*tiles_w, split_sr, split_sr, C),
+    row-major. Returns (1, canvas_h, canvas_w, C)."""
     canvas_h = (tiles_h - 1) * stride_sr + split_sr
     canvas_w = (tiles_w - 1) * stride_sr + split_sr
-    canvas = np.zeros((1, canvas_h, canvas_w, 3), np.float32)
-
-    fractional = scale_factor != int(scale_factor)
+    canvas = np.zeros((1, canvas_h, canvas_w, sr_tiles.shape[-1]),
+                      np.float32)
     idx = 0
     for i in range(tiles_h):
         for j in range(tiles_w):

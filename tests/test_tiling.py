@@ -48,3 +48,46 @@ def test_split_and_joint_shapes(tiny_models, rng, scale):
     # away from the trailing clamp rows)
     crop = canvas[0, :want[0], :want[1]]
     assert (np.abs(crop).sum(axis=-1) > 0).mean() > 0.9
+
+
+def test_paste_tiles_integer_scale_seam_trim():
+    """Integer-scale pasting: every non-leading edge is seam-trimmed by
+    crop_size; later tiles overwrite earlier ones in the overlap."""
+    from gsasr_tpu.tiling import paste_tiles
+
+    th, tw, split, stride, crop = 2, 2, 8, 6, 2
+    tiles = np.stack([np.full((split, split, 1), k, np.float32)
+                      for k in range(th * tw)])
+    canvas = paste_tiles(tiles, th, tw, stride, split, crop,
+                         fractional=False)[0, :, :, 0]
+    assert canvas.shape == (14, 14)
+    # leading tile occupies its full extent until overwritten
+    assert canvas[0, 0] == 0
+    # tile 1 (row 0, col 1) writes x in [stride+crop, stride+split) = [8,14)
+    assert (canvas[0, 6:8] == 0).all() and (canvas[0, 8:] == 1).all()
+    # tile 2 (row 1, col 0) writes y in [8, 14)
+    assert (canvas[6:8, 0] == 0).all() and (canvas[8:, 0] == 2).all()
+    # tile 3 overwrites the corner block [8:14, 8:14]
+    assert (canvas[8:, 8:] == 3).all()
+    # seam rows between trims keep the earlier tile's values
+    assert (canvas[7, 7] == 0)
+
+
+def test_paste_tiles_fractional_last_column_quirk():
+    """Fractional scale: the reference writes last-column INTERIOR-row tiles
+    without the vertical seam trim (`split_and_joint_image.py:196-198`);
+    first and last rows keep the trim."""
+    from gsasr_tpu.tiling import paste_tiles
+
+    th, tw, split, stride, crop = 3, 2, 8, 6, 2
+    tiles = np.stack([np.full((split, split, 1), k, np.float32)
+                      for k in range(th * tw)])
+    canvas = paste_tiles(tiles, th, tw, stride, split, crop,
+                         fractional=True)[0, :, :, 0]
+    # tile 3 = row 1 (interior), col 1 (last): writes y from y (no +crop),
+    # rows [6, 14) in the last-column region; tile 5 then owns [14, 20)
+    assert (canvas[6:14, 8:] == 3).all()
+    # row 0 last column (tile 1) still trims horizontally only: y0 = 0
+    assert (canvas[0, 8:] == 1).all()
+    # last row last column (tile 5) trims normally (y0 = 12+crop)
+    assert (canvas[14:, 8:] == 5).all()
