@@ -101,4 +101,7 @@ def build_train_config(opt: Dict[str, Any]):
         dmax_mode=opt.get("dmax_mode", "fix"),
         if_dmax=bool(opt.get("if_dmax", True)),
         canvas_hw=(gt_max, gt_max),
+        # reference ssim_opt (`gsasr_model.py:130-143, 227-242`)
+        ssim_weight=float(t.get("ssim_opt", {}).get("loss_weight", 0.0)
+                          if isinstance(t.get("ssim_opt"), dict) else 0.0),
     )

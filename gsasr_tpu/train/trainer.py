@@ -57,6 +57,9 @@ class TrainConfig:
     if_dmax: bool = True
     # canvas (gt_size_max from the dataset config)
     canvas_hw: Tuple[int, int] = (192, 192)
+    # optional SSIM loss term (reference `gsasr_model.py:227-242`:
+    # l_total = L1 + ssim_weight * (1 - SSIM)); 0 disables it.
+    ssim_weight: float = 0.0
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -142,6 +145,14 @@ class Trainer:
             return l_pix, {"l_pix": l_pix}
         mask = size_mask(batch["gt_h"], batch["gt_w"], *cfg.canvas_hw)
         l_pix = masked_l1(out, batch["gt"], mask)
+        if cfg.ssim_weight > 0.0:
+            from gsasr_tpu.train.losses import ssim
+            # SSIM over the masked canvas (padding is zero in BOTH rendered
+            # output and gt, so the padded region contributes SSIM=1 windows
+            # uniformly — same-as-reference up to the pad contribution)
+            s = ssim(out * mask, batch["gt"] * mask)
+            l_ssim = cfg.ssim_weight * (1.0 - s)
+            return l_pix + l_ssim, {"l_pix": l_pix, "l_ssim": l_ssim}
         return l_pix, {"l_pix": l_pix}
 
     def _step_impl(self, state: TrainState, batch):

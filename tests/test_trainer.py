@@ -144,3 +144,33 @@ def test_sparse_sample_coords_training(rng):
     }
     state, m = tr.step(state, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_train_step_with_ssim_loss(rng):
+    """Optional SSIM loss term (reference gsasr_model.py:227-242)."""
+    import jax
+    import jax.numpy as jnp
+    from gsasr_tpu.models import EDSRNOUP, Fea2GS
+    from gsasr_tpu.train import TrainConfig, Trainer
+
+    enc = EDSRNOUP(num_feat=8, num_block=1)
+    dec = Fea2GS(inchannel=8, channel=12, num_heads=6,
+                 num_crossattn_blocks=1, num_crossattn_layers=1,
+                 num_selfattn_blocks=1, num_selfattn_layers=1,
+                 num_gs_seed=16, window_size=4)
+    from gsasr_tpu.parallel.mesh import make_mesh
+    cfg = TrainConfig(canvas_hw=(24, 24), warmup_iter=-1, milestones=(100,),
+                      ssim_weight=0.1)
+    tr = Trainer(enc, dec, cfg, mesh=make_mesh(jax.devices()[:1]))
+    state = tr.init(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    scales = np.asarray([2.0, 2.5], np.float32)
+    batch = {
+        "lq": jnp.asarray(rng.random((2, 8, 8, 3), dtype=np.float32)),
+        "gt": jnp.asarray(rng.random((2, 24, 24, 3), dtype=np.float32)),
+        "scale": jnp.asarray(scales),
+        "gt_h": jnp.asarray(np.round(scales * 8).astype(np.int32)),
+        "gt_w": jnp.asarray(np.round(scales * 8).astype(np.int32)),
+    }
+    state, metrics = tr.step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert "l_ssim" in metrics and float(metrics["l_ssim"]) > 0
