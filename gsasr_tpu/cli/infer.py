@@ -62,6 +62,11 @@ def main():
                    help="bf16 inference (`inference_enhenced.py:212`)")
     p.add_argument("--enc_ckpt", default=None)
     p.add_argument("--dec_ckpt", default=None)
+    p.add_argument("--orbax_ckpt", default=None,
+                   help="orbax checkpoint step dir (<exp>/checkpoints/"
+                        "<step>) holding net_g + net_fea2gs")
+    p.add_argument("--param_key", default="params_ema",
+                   choices=["params", "params_ema"])
     p.add_argument("--denominator", type=int, default=None)
     p.add_argument("--suffix", default="GSASR_tpu")
     p.add_argument("--tile_process", action="store_true")
@@ -86,7 +91,15 @@ def main():
     denom = args.denominator or denom
 
     rng = jax.random.PRNGKey(0)
-    if args.enc_ckpt:
+    if args.orbax_ckpt:
+        import os as _os
+
+        import orbax.checkpoint as ocp
+        tree = ocp.StandardCheckpointer().restore(
+            _os.path.abspath(args.orbax_ckpt))
+        enc_params = tree["net_g"][args.param_key]
+        dec_params = tree["net_fea2gs"][args.param_key]
+    elif args.enc_ckpt:
         enc_params = load_torch_checkpoint(args.enc_ckpt, enc_kind)
         dec_params = load_torch_checkpoint(args.dec_ckpt, dec_kind)
     else:

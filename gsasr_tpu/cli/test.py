@@ -29,6 +29,14 @@ def main():
     p.add_argument("--AMP_test", "--bf16", dest="bf16", action="store_true")
     p.add_argument("--enc_ckpt", default=None)
     p.add_argument("--dec_ckpt", default=None)
+    p.add_argument("--orbax_ckpt", default=None,
+                   help="orbax checkpoint step dir (as written by "
+                        "save_checkpoint: <dir>/<step>) holding net_g + "
+                        "net_fea2gs")
+    p.add_argument("--param_key", default="params_ema",
+                   choices=["params", "params_ema"],
+                   help="reference param_key_g semantics: eval uses "
+                        "params_ema by default")
     p.add_argument("--dmax", type=float, default=0.1)
     p.add_argument("--tile_size", type=int, default=0,
                    help="0 disables tiling")
@@ -56,7 +64,13 @@ def main():
     enc, dec, enc_kind, dec_kind, denom = build_models(
         args.model, args.version, args.bf16)
     rng = jax.random.PRNGKey(0)
-    if args.enc_ckpt:
+    if args.orbax_ckpt:
+        import orbax.checkpoint as ocp
+        tree = ocp.StandardCheckpointer().restore(
+            os.path.abspath(args.orbax_ckpt))
+        enc_params = tree["net_g"][args.param_key]
+        dec_params = tree["net_fea2gs"][args.param_key]
+    elif args.enc_ckpt:
         enc_params = load_torch_checkpoint(args.enc_ckpt, enc_kind)
         dec_params = load_torch_checkpoint(args.dec_ckpt, dec_kind)
     else:
