@@ -34,42 +34,43 @@ def apply_overrides(opt: Dict[str, Any], overrides: List[str]):
 
 
 def build_networks(opt: Dict[str, Any], dtype=None):
-    """network_g / network_fea2gs blocks -> flax modules."""
+    """network_g / network_fea2gs blocks -> flax modules.
+
+    Covers the reference's ARCH_REGISTRY surface for GSASR training
+    (`basicsr/archs/*_arch.py` registrations): all four NOUP encoders and
+    both decoder families, any extra yaml keys passed through as module
+    kwargs. `model_dtype: bfloat16` at the top level selects the bf16
+    (GSASRAMPModel-equivalent) family."""
     import jax.numpy as jnp
 
-    from gsasr_tpu.models import EDSRNOUP, Fea2GS
+    from gsasr_tpu.models import (EDSRNOUP, Fea2GS, Fea2GSRopeAMP, HATNOUP,
+                                  RDNNOUP, SwinIRNOUP)
 
-    dtype = dtype or jnp.float32
+    if dtype is None:
+        name = str(opt.get("model_dtype", "float32")).lower()
+        dtype = {"float32": jnp.float32, "fp32": jnp.float32,
+                 "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}[name]
+
+    encoders = {
+        "EDSRNOUP": EDSRNOUP, "EDSR": EDSRNOUP,
+        "RDNNOUP": RDNNOUP, "RDN": RDNNOUP,
+        "SwinIRNOUP": SwinIRNOUP, "SWINNOUP": SwinIRNOUP,
+        "HATNOUP_ROPE_AMP": HATNOUP, "HATNOUP": HATNOUP,
+    }
+    decoders = {"Fea2GS": Fea2GS, "Fea2GS_ROPE_AMP": Fea2GSRopeAMP,
+                "Fea2GSRopeAMP": Fea2GSRopeAMP}
+
     g = dict(opt["network_g"])
     gtype = g.pop("type")
-    if gtype in ("EDSRNOUP", "EDSR"):
-        enc = EDSRNOUP(
-            num_feat=g.get("num_feat", 64),
-            num_block=g.get("num_block", 16),
-            res_scale=g.get("res_scale", 1.0),
-            dtype=dtype)
-    else:
+    if gtype not in encoders:
         raise NotImplementedError(f"encoder type {gtype}")
+    enc = encoders[gtype](dtype=dtype, **g)
 
     d = dict(opt["network_fea2gs"])
     dt = d.pop("type")
-    if dt in ("Fea2GS",):
-        dec = Fea2GS(
-            inchannel=d.get("inchannel", 64),
-            channel=d.get("channel", 180),
-            num_heads=d.get("num_heads", 6),
-            num_crossattn_blocks=d.get("num_crossattn_blocks", 1),
-            num_crossattn_layers=d.get("num_crossattn_layers", 2),
-            num_selfattn_blocks=d.get("num_selfattn_blocks", 6),
-            num_selfattn_layers=d.get("num_selfattn_layers", 6),
-            num_gs_seed=d.get("num_gs_seed", 144),
-            gs_up_factor=d.get("gs_up_factor", 1.0),
-            window_size=d.get("window_size", 12),
-            shuffle_scale1=d.get("shuffle_scale1", 2),
-            shuffle_scale2=d.get("shuffle_scale2", 2),
-            dtype=dtype)
-    else:
+    if dt not in decoders:
         raise NotImplementedError(f"decoder type {dt}")
+    dec = decoders[dt](dtype=dtype, **d)
     return enc, dec
 
 

@@ -142,7 +142,8 @@ class WindowCrossAttn(nn.Module):
         attn = jnp.einsum("bhqd,bhkd->bhqk", q * (hd ** -0.5), k)
         bias = bias_table[idx.reshape(-1)].reshape(num_gs, n, nh)
         attn = attn + bias.transpose(2, 0, 1)[None]
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = jax.nn.softmax(attn.astype(jnp.float32),
+                           axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b_, num_gs, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
@@ -179,7 +180,8 @@ class GSSelfAttn(nn.Module):
         attn = jnp.einsum("bhqd,bhkd->bhqk", q * (hd ** -0.5), k)
         bias = bias_table[idx.reshape(-1)].reshape(num_gs, num_gs, nh)
         attn = attn + bias.transpose(2, 0, 1)[None]
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = jax.nn.softmax(attn.astype(jnp.float32),
+                           axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b_, num_gs, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)

@@ -65,7 +65,8 @@ class PaperWindowAttention(nn.Module):
             nw = mask.shape[0]
             attn = attn.reshape(b_ // nw, nw, nh, n, n) + mask[None, :, None]
             attn = attn.reshape(b_, nh, n, n)
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = jax.nn.softmax(attn.astype(jnp.float32),
+                           axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
@@ -171,7 +172,8 @@ class PaperOCAB(nn.Module):
         attn = jnp.einsum("bhqd,bhkd->bhqk", qh * (hd ** -0.5), kh)
         bias = bias_table[idx.reshape(-1)].reshape(ws * ws, ows * ows, nh)
         attn = attn + bias.transpose(2, 0, 1)[None]
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = jax.nn.softmax(attn.astype(jnp.float32),
+                           axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
         out = out.transpose(0, 2, 1, 3).reshape(-1, ws * ws, c)
         out = window_reverse(out, ws, h, w)

@@ -92,7 +92,8 @@ class WindowAttention(nn.Module):
             nw = mask.shape[0]
             attn = attn.reshape(b_ // nw, nw, nh, n, n) + mask[None, :, None]
             attn = attn.reshape(b_, nh, n, n)
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = jax.nn.softmax(attn.astype(jnp.float32),
+                           axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)

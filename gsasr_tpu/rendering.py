@@ -117,6 +117,11 @@ def prepare_kernel_inputs(sr_size, gs_parameters, scale, *,
 
     Returns (sigmas, kcoords, colors, final_dmax, max_box_px)."""
     sr = (int(sr_size[0]), int(sr_size[1]))
+    # Rendering is always fp32 — the reference's CUDA rasterizer only
+    # accepts fp32, so its AMP model leaves the autocast region at this
+    # boundary. bf16 activations here (mu quantized to ~2^-8 relative =
+    # ~0.4 px on a 192-canvas) destabilize training.
+    gs_parameters = jnp.asarray(gs_parameters, jnp.float32)
     step_size = default_step_size / scale
     sigma_x, sigma_y, rho, coords, colors = gs_activations(gs_parameters)
     sigmas, kcoords = to_kernel_units(sigma_x, sigma_y, rho, coords, sr,
@@ -248,6 +253,8 @@ def render_training_batch(
     hmax, wmax = int(canvas_hw[0]), int(canvas_hw[1])
 
     def one(g, scale, h, w, idx):
+        # fp32 render boundary (see prepare_kernel_inputs)
+        g = jnp.asarray(g, jnp.float32)
         step_size = default_step_size / scale
         sigma_x, sigma_y, rho, coords, colors = gs_activations(g)
         h_f = jnp.asarray(h, jnp.float32)

@@ -107,7 +107,10 @@ class Trainer:
         from gsasr_tpu.models.init import init_with_torch_defaults
         rng_g, rng_d = jax.random.split(rng)
         b, h, w, c = lq_shape
-        feat_ch = getattr(self.enc, "num_feat", 64)
+        # decoder input channels = encoder output channels; the decoder's
+        # `inchannel` is authoritative across all encoder families
+        feat_ch = getattr(self.dec, "inchannel",
+                          getattr(self.enc, "num_feat", 64))
         # torch-faithful init (see models/init.py): flax defaults saturate
         # the Gaussian-parameter activations at production width.
         params_g = init_with_torch_defaults(

@@ -174,3 +174,26 @@ def test_train_step_with_ssim_loss(rng):
     state, metrics = tr.step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
     assert "l_ssim" in metrics and float(metrics["l_ssim"]) > 0
+
+
+def test_build_networks_all_families():
+    """Yaml -> modules across the registry surface (reference
+    ARCH_REGISTRY parity for training configs)."""
+    import jax.numpy as jnp
+    from gsasr_tpu.config import build_networks
+
+    for gtype, extra_g in [("EDSRNOUP", {"num_feat": 8, "num_block": 1}),
+                           ("RDNNOUP", {}), ("SwinIRNOUP", {}),
+                           ("HATNOUP_ROPE_AMP", {})]:
+        for dt in ("Fea2GS", "Fea2GS_ROPE_AMP"):
+            opt = {"network_g": {"type": gtype, **extra_g},
+                   "network_fea2gs": {"type": dt}}
+            enc, dec = build_networks(opt)
+            assert enc is not None and dec is not None
+
+    # model_dtype selects the bf16 family
+    opt = {"model_dtype": "bfloat16",
+           "network_g": {"type": "EDSRNOUP", "num_feat": 8, "num_block": 1},
+           "network_fea2gs": {"type": "Fea2GS"}}
+    enc, dec = build_networks(opt)
+    assert enc.dtype == jnp.bfloat16 and dec.dtype == jnp.bfloat16
