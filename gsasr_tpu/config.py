@@ -47,7 +47,11 @@ def build_networks(opt: Dict[str, Any], dtype=None):
                                   RDNNOUP, SwinIRNOUP)
 
     if dtype is None:
-        name = str(opt.get("model_dtype", "float32")).lower()
+        # explicit model_dtype wins; otherwise the reference's
+        # model_type: GSASRAMPModel selects the bf16 family
+        default = ("bfloat16" if "AMP" in str(opt.get("model_type", ""))
+                   else "float32")
+        name = str(opt.get("model_dtype", default)).lower()
         dtype = {"float32": jnp.float32, "fp32": jnp.float32,
                  "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}[name]
 
@@ -60,17 +64,32 @@ def build_networks(opt: Dict[str, Any], dtype=None):
     decoders = {"Fea2GS": Fea2GS, "Fea2GS_ROPE_AMP": Fea2GSRopeAMP,
                 "Fea2GSRopeAMP": Fea2GSRopeAMP}
 
+    def adapt(kwargs, cls, rename):
+        """Accept reference-yaml keys: rename known aliases, drop keys our
+        NOUP modules fix structurally (upsampler/upscale/img_size/...),
+        pass everything the module actually declares."""
+        fields = {f.name for f in dataclasses.fields(cls)}
+        out = {}
+        for k, v in kwargs.items():
+            k = rename.get(k, k)
+            if k in fields:
+                out[k] = tuple(v) if isinstance(v, list) else v
+        return out
+
     g = dict(opt["network_g"])
     gtype = g.pop("type")
     if gtype not in encoders:
         raise NotImplementedError(f"encoder type {gtype}")
-    enc = encoders[gtype](dtype=dtype, **g)
+    cls = encoders[gtype]
+    enc = cls(dtype=dtype, **adapt(g, cls, {"G0": "g0",
+                                            "RDNconfig": "config"}))
 
     d = dict(opt["network_fea2gs"])
     dt = d.pop("type")
     if dt not in decoders:
         raise NotImplementedError(f"decoder type {dt}")
-    dec = decoders[dt](dtype=dtype, **d)
+    cls = decoders[dt]
+    dec = cls(dtype=dtype, **adapt(d, cls, {}))
     return enc, dec
 
 
@@ -95,7 +114,12 @@ def build_train_config(opt: Dict[str, Any]):
         total_iter=int(t.get("total_iter", 500000)),
         warmup_iter=int(t.get("warmup_iter", -1)),
         ema_decay=float(t.get("ema_decay", 0.999)),
-        clip_grad_norm=5.0 if t.get("use_grad_clip", True) else None,
+        # reference key `clip_grad_norm` (False or a norm); legacy
+        # `use_grad_clip` bool kept for our earlier configs
+        clip_grad_norm=(
+            (float(t["clip_grad_norm"]) if t["clip_grad_norm"] else None)
+            if "clip_grad_norm" in t
+            else (5.0 if t.get("use_grad_clip", True) else None)),
         accumulation_steps=int(t.get("accumulation_steps", 1)),
         default_step_size=float(opt.get("default_step_size", 1.2)),
         dmax=float(opt.get("dmax", 0.5)),
