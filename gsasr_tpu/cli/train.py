@@ -63,6 +63,30 @@ def main():
         jax.random.PRNGKey(opt.get("manual_seed", 0)),
         (batch_size, lr_size, lr_size, 3))
 
+    # pretrained-network loading (reference `path.pretrain_network_g` /
+    # `path_fea2gs.pretrain_network_fea2gs`, train.py:132-142): initialize
+    # params (and EMA) from a .pth or an orbax step dir before training.
+    from gsasr_tpu.utils.checkpoint import load_pretrained_params as \
+        _load_pretrain
+
+    path_opt = opt.get("path", {}) or {}
+    pg = _load_pretrain(path_opt.get("pretrain_network_g"),
+                        opt["network_g"]["type"].lower().replace("noup", "")
+                        .replace("_rope_amp", ""),
+                        path_opt.get("param_key_g", "params"))
+    pd = _load_pretrain(
+        (opt.get("path_fea2gs", {}) or {}).get("pretrain_network_fea2gs"),
+        "fea2gs", (opt.get("path_fea2gs", {}) or {}).get(
+            "param_key_fea2gs", "params"))
+    if pg is not None:
+        state = state.replace(params_g=pg, ema_g=jax.tree_util.tree_map(
+            jnp.copy, pg))
+        print("loaded pretrain_network_g")
+    if pd is not None:
+        state = state.replace(params_d=pd, ema_d=jax.tree_util.tree_map(
+            jnp.copy, pd))
+        print("loaded pretrain_network_fea2gs")
+
     exp_dir = opt.get("path", {}).get(
         "experiments_root", f"experiments/{opt.get('name', 'run')}")
     ckpt_dir = f"{exp_dir}/checkpoints"

@@ -124,3 +124,23 @@ def load_torch_checkpoint(path, kind: str, param_key: str = "params_ema",
     if kind == "hat":
         return torch_convert.convert_hat(sd)
     raise ValueError(f"unknown checkpoint kind {kind!r}")
+
+
+def load_pretrained_params(spec, kind: str, key: str = "params"):
+    """Load one network's params for `pretrain_network_*` initialization
+    (reference `train.py:132-142` semantics).
+
+    spec: a reference .pth file OR an orbax step dir written by
+    save_checkpoint; kind: converter kind ('edsr', 'fea2gs', ...) used for
+    .pth files and to pick the net subtree ('fea2gs' -> net_fea2gs);
+    key: 'params' or 'params_ema'.
+    """
+    if not spec:
+        return None
+    import os.path as osp
+    if osp.isdir(spec):
+        import orbax.checkpoint as ocp
+        tree = ocp.StandardCheckpointer().restore(osp.abspath(spec))
+        net = "net_fea2gs" if kind == "fea2gs" else "net_g"
+        return tree[net][key]
+    return load_torch_checkpoint(spec, kind, param_key=key)

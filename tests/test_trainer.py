@@ -197,3 +197,35 @@ def test_build_networks_all_families():
            "network_fea2gs": {"type": "Fea2GS"}}
     enc, dec = build_networks(opt)
     assert enc.dtype == jnp.bfloat16 and dec.dtype == jnp.bfloat16
+
+
+def test_load_pretrained_params_orbax(tmp_path, rng):
+    """pretrain_network_* loading from an orbax step dir (reference
+    train.py:132-142 finetune entry)."""
+    import jax
+    import jax.numpy as jnp
+    from gsasr_tpu.models import EDSRNOUP, Fea2GS
+    from gsasr_tpu.parallel.mesh import make_mesh
+    from gsasr_tpu.train import TrainConfig, Trainer
+    from gsasr_tpu.utils.checkpoint import (load_pretrained_params,
+                                            save_checkpoint)
+
+    enc = EDSRNOUP(num_feat=8, num_block=1)
+    dec = Fea2GS(inchannel=8, channel=12, num_heads=6,
+                 num_crossattn_blocks=1, num_crossattn_layers=1,
+                 num_selfattn_blocks=1, num_selfattn_layers=1,
+                 num_gs_seed=16, window_size=4)
+    cfg = TrainConfig(canvas_hw=(16, 16), warmup_iter=-1, milestones=(10,))
+    tr = Trainer(enc, dec, cfg, mesh=make_mesh(jax.devices()[:1]))
+    state = tr.init(jax.random.PRNGKey(0), (1, 8, 8, 3))
+    save_checkpoint(tmp_path / "ck", 7, state)
+
+    pg = load_pretrained_params(str(tmp_path / "ck" / "7"), "edsr")
+    pd = load_pretrained_params(str(tmp_path / "ck" / "7"), "fea2gs")
+    for loaded, ref in ((pg, state.params_g), (pd, state.params_d)):
+        la = jax.tree_util.tree_leaves(loaded)
+        lb = jax.tree_util.tree_leaves(ref)
+        assert len(la) == len(lb)
+        for a, b in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert load_pretrained_params(None, "edsr") is None
