@@ -107,10 +107,32 @@ def _jitted_render(scale: float, dmax_mode: str, dmax: float,
     return render_all
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_pipeline(enc, dec, scale: float, dmax_mode: str, dmax: float,
+                     sr_hw: Tuple[int, int]):
+    """One fused jit of encoder + decoder + per-sample render: a single
+    device dispatch per image (the stage-wise path costs one tunnel
+    round-trip per stage on axon)."""
+
+    @jax.jit
+    def fused(enc_params, dec_params, padded):
+        feat = enc.apply({"params": enc_params}, padded)
+        b = padded.shape[0]
+        gs = dec.apply({"params": dec_params},
+                       feat, jnp.full((b,), scale, jnp.float32))
+        imgs = [render_gaussians(sr_hw, gs[i], jnp.float32(scale),
+                                 dmax_mode=dmax_mode, dmax=dmax)
+                for i in range(b)]
+        return jnp.stack(imgs)
+
+    return fused
+
+
 def sr_forward(enc, dec, enc_params, dec_params, lq, scale: float,
                *, sr_size: Optional[Tuple[int, int]] = None,
                denominator: int = 12, dmax_mode: str = "fix",
-               dmax: float = 0.1, use_pallas: bool = True):
+               dmax: float = 0.1, use_pallas: bool = True,
+               fused: bool = False):
     """Full-image SR forward for one batch at one scale.
 
     Args:
@@ -118,6 +140,8 @@ def sr_forward(enc, dec, enc_params, dec_params, lq, scale: float,
       scale: python float scale factor.
       sr_size: target (H_sr, W_sr); default floor(scale * HW)
         (`inference_paper.py:91`).
+      fused: one monolithic jit instead of stage-wise jits — fewer device
+        dispatches per image (compiles slower the first time).
 
     Returns (B, H_sr, W_sr, 3).
     """
@@ -130,10 +154,15 @@ def sr_forward(enc, dec, enc_params, dec_params, lq, scale: float,
     # unpadded target (`inference_paper.py:113-114, 135`).
     pad_sr = (math.floor(ph * scale), math.floor(pw * scale))
 
-    feat = _jitted_apply(enc)(enc_params, padded)
-    scales = jnp.full((b,), scale, jnp.float32)
-    gs = _jitted_apply(dec)(dec_params, feat, scales)
-    img = _jitted_render(float(scale), dmax_mode, float(dmax),
-                         use_pallas)(gs, pad_sr)  # (B, 3, H, W)
+    if fused and use_pallas:
+        img = _jitted_pipeline(enc, dec, float(scale), dmax_mode,
+                               float(dmax), pad_sr)(
+            enc_params, dec_params, padded)
+    else:
+        feat = _jitted_apply(enc)(enc_params, padded)
+        scales = jnp.full((b,), scale, jnp.float32)
+        gs = _jitted_apply(dec)(dec_params, feat, scales)
+        img = _jitted_render(float(scale), dmax_mode, float(dmax),
+                             use_pallas)(gs, pad_sr)  # (B, 3, H, W)
     img = img.transpose(0, 2, 3, 1)
     return img[:, :sr_size[0], :sr_size[1], :]

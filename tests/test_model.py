@@ -50,3 +50,15 @@ def test_pad_to_denominator():
     y = jnp.ones((1, 8, 8, 3))
     p2, _ = pad_to_denominator(y, 4)
     assert p2.shape == y.shape
+
+
+def test_sr_forward_fused_matches(tiny, rng):
+    from gsasr_tpu.model import sr_forward
+
+    enc, dec, ep, dp = tiny
+    lq = jnp.asarray(rng.random((1, 8, 8, 3), dtype=np.float32))
+    a = sr_forward(enc, dec, ep, dp, lq, 2.0, denominator=4, dmax=0.5)
+    b = sr_forward(enc, dec, ep, dp, lq, 2.0, denominator=4, dmax=0.5,
+                   fused=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
