@@ -92,13 +92,9 @@ def main():
 
     rng = jax.random.PRNGKey(0)
     if args.orbax_ckpt:
-        import os as _os
-
-        import orbax.checkpoint as ocp
-        tree = ocp.StandardCheckpointer().restore(
-            _os.path.abspath(args.orbax_ckpt))
-        enc_params = tree["net_g"][args.param_key]
-        dec_params = tree["net_fea2gs"][args.param_key]
+        from gsasr_tpu.utils.checkpoint import load_eval_params
+        enc_params, dec_params = load_eval_params(args.orbax_ckpt,
+                                                  args.param_key)
     elif args.enc_ckpt:
         enc_params = load_torch_checkpoint(args.enc_ckpt, enc_kind)
         dec_params = load_torch_checkpoint(args.dec_ckpt, dec_kind)

@@ -55,6 +55,8 @@ def main():
         use_hflip=ds_opt.get("use_hflip", True),
         use_rot=ds_opt.get("use_rot", True),
         round_mode=ds_opt.get("round_mode", "ceil"),
+        clamp_scale_to_image=ds_opt.get("clamp_scale_to_image", False),
+        sample_size=ds_opt.get("sample_size", 0),
         seed=opt.get("manual_seed", 0))
     batch_size = ds_opt.get("batch_size_per_gpu", 16) * jax.device_count()
     lr_size = ds_opt.get("lr_size", 48)
@@ -66,18 +68,19 @@ def main():
     # pretrained-network loading (reference `path.pretrain_network_g` /
     # `path_fea2gs.pretrain_network_fea2gs`, train.py:132-142): initialize
     # params (and EMA) from a .pth or an orbax step dir before training.
-    from gsasr_tpu.utils.checkpoint import load_pretrained_params as \
-        _load_pretrain
+    from gsasr_tpu.utils.checkpoint import (CONVERTER_KINDS,
+                                            load_pretrained_params as
+                                            _load_pretrain)
 
     path_opt = opt.get("path", {}) or {}
     pg = _load_pretrain(path_opt.get("pretrain_network_g"),
-                        opt["network_g"]["type"].lower().replace("noup", "")
-                        .replace("_rope_amp", ""),
-                        path_opt.get("param_key_g", "params"))
+                        CONVERTER_KINDS[opt["network_g"]["type"]],
+                        path_opt.get("param_key_g", "params"), net="g")
     pd = _load_pretrain(
         (opt.get("path_fea2gs", {}) or {}).get("pretrain_network_fea2gs"),
-        "fea2gs", (opt.get("path_fea2gs", {}) or {}).get(
-            "param_key_fea2gs", "params"))
+        CONVERTER_KINDS[opt["network_fea2gs"]["type"]],
+        (opt.get("path_fea2gs", {}) or {}).get(
+            "param_key_fea2gs", "params"), net="fea2gs")
     if pg is not None:
         state = state.replace(params_g=pg, ema_g=jax.tree_util.tree_map(
             jnp.copy, pg))

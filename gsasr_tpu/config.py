@@ -44,7 +44,7 @@ def build_networks(opt: Dict[str, Any], dtype=None):
     import jax.numpy as jnp
 
     from gsasr_tpu.models import (EDSRNOUP, Fea2GS, Fea2GSRopeAMP, HATNOUP,
-                                  RDNNOUP, SwinIRNOUP)
+                                  HATNOUPPaper, RDNNOUP, SwinIRNOUP)
 
     if dtype is None:
         # explicit model_dtype wins; otherwise the reference's
@@ -52,14 +52,21 @@ def build_networks(opt: Dict[str, Any], dtype=None):
         default = ("bfloat16" if "AMP" in str(opt.get("model_type", ""))
                    else "float32")
         name = str(opt.get("model_dtype", default)).lower()
-        dtype = {"float32": jnp.float32, "fp32": jnp.float32,
-                 "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}[name]
+        dtypes = {"float32": jnp.float32, "fp32": jnp.float32,
+                  "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}
+        if name not in dtypes:
+            raise NotImplementedError(
+                f"model_dtype {name!r} (expected one of {sorted(dtypes)})")
+        dtype = dtypes[name]
 
     encoders = {
         "EDSRNOUP": EDSRNOUP, "EDSR": EDSRNOUP,
         "RDNNOUP": RDNNOUP, "RDN": RDNNOUP,
         "SwinIRNOUP": SwinIRNOUP, "SWINNOUP": SwinIRNOUP,
-        "HATNOUP_ROPE_AMP": HATNOUP, "HATNOUP": HATNOUP,
+        "HATNOUP_ROPE_AMP": HATNOUP,
+        # the reference's paper-HAT registration (rel-pos bias + masked
+        # shifts, hat_arch.py:987) — distinct from the RoPE/AMP variant
+        "HATNOUP": HATNOUPPaper,
     }
     decoders = {"Fea2GS": Fea2GS, "Fea2GS_ROPE_AMP": Fea2GSRopeAMP,
                 "Fea2GSRopeAMP": Fea2GSRopeAMP}

@@ -60,9 +60,10 @@ def _ssim_window(size=11, sigma=1.5):
     return k / k.sum()
 
 
-def ssim(pred, target, data_range=1.0, size=11, sigma=1.5):
+def ssim(pred, target, data_range=1.0, size=11, sigma=1.5, reduce=True):
     """Mean SSIM over a (B, H, W, C) batch (valid-mode gaussian windows),
-    matching pytorch_msssim.ssim(size_average=True)."""
+    matching pytorch_msssim.ssim(size_average=True). reduce=False returns
+    the per-window map (B, H-size+1, W-size+1, C)."""
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2
     k = _ssim_window(size, sigma)
@@ -82,7 +83,7 @@ def ssim(pred, target, data_range=1.0, size=11, sigma=1.5):
     s12 = blur(pred * target) - mu12
     ssim_map = ((2 * mu12 + c1) * (2 * s12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
-    return ssim_map.mean()
+    return ssim_map.mean() if reduce else ssim_map
 
 
 def ssim_loss(pred, target, data_range=1.0):

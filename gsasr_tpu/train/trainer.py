@@ -150,11 +150,21 @@ class Trainer:
         l_pix = masked_l1(out, batch["gt"], mask)
         if cfg.ssim_weight > 0.0:
             from gsasr_tpu.train.losses import ssim
-            # SSIM over the masked canvas (padding is zero in BOTH rendered
-            # output and gt, so the padded region contributes SSIM=1 windows
-            # uniformly — same-as-reference up to the pad contribution)
-            s = ssim(out * mask, batch["gt"] * mask)
-            l_ssim = cfg.ssim_weight * (1.0 - s)
+            # SSIM over the masked canvas. Pure-padding windows give
+            # ssim=1 (zero numerator); normalizing by the per-sample count
+            # of fully-real windows keeps the term's magnitude equal to
+            # the reference's per-crop `1 - ssim` (gsasr_model.py:227-242)
+            # instead of diluting it by the canvas/crop area ratio.
+            # Boundary windows straddling real/pad pixels remain a small
+            # approximation vs the reference's exact crop.
+            smap = ssim(out * mask, batch["gt"] * mask, reduce=False)
+            win = 11
+            vh = jnp.maximum(
+                jnp.asarray(batch["gt_h"], jnp.float32) - (win - 1), 0.0)
+            vw = jnp.maximum(
+                jnp.asarray(batch["gt_w"], jnp.float32) - (win - 1), 0.0)
+            denom = jnp.maximum(jnp.sum(vh * vw) * out.shape[-1], 1.0)
+            l_ssim = cfg.ssim_weight * jnp.sum(1.0 - smap) / denom
             return l_pix + l_ssim, {"l_pix": l_pix, "l_ssim": l_ssim}
         return l_pix, {"l_pix": l_pix}
 

@@ -123,24 +123,66 @@ def load_torch_checkpoint(path, kind: str, param_key: str = "params_ema",
         return torch_convert.convert_fea2gs_rope(sd)
     if kind == "hat":
         return torch_convert.convert_hat(sd)
+    if kind == "hat_paper":
+        return torch_convert.convert_hat_paper(sd)
     raise ValueError(f"unknown checkpoint kind {kind!r}")
 
 
-def load_pretrained_params(spec, kind: str, key: str = "params"):
+def load_pretrained_params(spec, kind: str, key: str = "params", *,
+                           net: Optional[str] = None):
     """Load one network's params for `pretrain_network_*` initialization
     (reference `train.py:132-142` semantics).
 
     spec: a reference .pth file OR an orbax step dir written by
-    save_checkpoint; kind: converter kind ('edsr', 'fea2gs', ...) used for
-    .pth files and to pick the net subtree ('fea2gs' -> net_fea2gs);
-    key: 'params' or 'params_ema'.
+    save_checkpoint; kind: the .pth converter kind ('edsr', 'rdn',
+    'swinir', 'hat', 'fea2gs', 'fea2gs_rope'); key: 'params' or
+    'params_ema'; net: which orbax subtree ('g' or 'fea2gs') — defaults
+    from kind (decoder kinds start with 'fea2gs').
     """
     if not spec:
         return None
     import os.path as osp
+    if net is None:
+        net = "fea2gs" if kind.startswith("fea2gs") else "g"
     if osp.isdir(spec):
-        import orbax.checkpoint as ocp
-        tree = ocp.StandardCheckpointer().restore(osp.abspath(spec))
-        net = "net_fea2gs" if kind == "fea2gs" else "net_g"
-        return tree[net][key]
+        enc_p, dec_p = load_eval_params(spec, key)
+        return dec_p if net == "fea2gs" else enc_p
     return load_torch_checkpoint(spec, kind, param_key=key)
+
+
+# yaml network type -> .pth converter kind (see load_torch_checkpoint)
+CONVERTER_KINDS = {
+    "EDSRNOUP": "edsr", "EDSR": "edsr",
+    "RDNNOUP": "rdn", "RDN": "rdn",
+    "SwinIRNOUP": "swinir", "SWINNOUP": "swinir",
+    "HATNOUP_ROPE_AMP": "hat", "HATNOUP": "hat_paper",
+    "Fea2GS": "fea2gs",
+    "Fea2GS_ROPE_AMP": "fea2gs_rope", "Fea2GSRopeAMP": "fea2gs_rope",
+}
+
+
+def load_eval_params(spec, key: str = "params_ema"):
+    """Restore ONLY net_g/net_fea2gs[key] from an orbax step dir.
+
+    A full StandardCheckpointer restore also materializes the optimizer
+    state (Adam mu+nu = 2x the params of both networks) just to discard
+    it; this reads the tree metadata and partial-restores the two network
+    subtrees. Returns (enc_params, dec_params).
+    """
+    import os.path as osp
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    path = osp.abspath(spec)
+    ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+    meta = ckptr.metadata(path).item_metadata
+    tree = meta.tree if hasattr(meta, "tree") else meta
+    item = {"net_g": {key: jax.tree_util.tree_map(lambda m: 0.,
+                                                  tree["net_g"][key])},
+            "net_fea2gs": {key: jax.tree_util.tree_map(
+                lambda m: 0., tree["net_fea2gs"][key])}}
+    ra = jax.tree_util.tree_map(lambda _: ocp.RestoreArgs(), item)
+    out = ckptr.restore(path, args=ocp.args.PyTreeRestore(
+        item=item, restore_args=ra, transforms={}))
+    return out["net_g"][key], out["net_fea2gs"][key]
