@@ -71,16 +71,30 @@ def build_networks(opt: Dict[str, Any], dtype=None):
     decoders = {"Fea2GS": Fea2GS, "Fea2GS_ROPE_AMP": Fea2GSRopeAMP,
                 "Fea2GSRopeAMP": Fea2GSRopeAMP}
 
+    # Reference-yaml keys our NOUP modules fix structurally (upsampler
+    # removed, channel counts pinned by the GSASR configs) — silently
+    # dropped. Anything else unknown raises, matching the reference's
+    # TypeError on unexpected ctor kwargs.
+    _STRUCTURAL = {"upscale", "upsampler", "img_size", "img_range",
+                   "in_chans", "no_upsampling", "resi_connection",
+                   "kSize", "r", "n_colors", "num_in_ch", "num_out_ch",
+                   "scale", "patch_size", "ape", "patch_norm"}
+
     def adapt(kwargs, cls, rename):
         """Accept reference-yaml keys: rename known aliases, drop keys our
-        NOUP modules fix structurally (upsampler/upscale/img_size/...),
-        pass everything the module actually declares."""
+        NOUP modules fix structurally (see _STRUCTURAL), raise on anything
+        else unknown so a misspelled hyperparameter can't silently train
+        with the module default."""
         fields = {f.name for f in dataclasses.fields(cls)}
         out = {}
         for k, v in kwargs.items():
             k = rename.get(k, k)
             if k in fields:
                 out[k] = tuple(v) if isinstance(v, list) else v
+            elif k not in _STRUCTURAL:
+                raise TypeError(
+                    f"{cls.__name__}: unknown yaml key {k!r} "
+                    f"(known: {sorted(fields)})")
         return out
 
     g = dict(opt["network_g"])
@@ -121,10 +135,14 @@ def build_train_config(opt: Dict[str, Any]):
         total_iter=int(t.get("total_iter", 500000)),
         warmup_iter=int(t.get("warmup_iter", -1)),
         ema_decay=float(t.get("ema_decay", 0.999)),
-        # reference key `clip_grad_norm` (False or a norm); legacy
-        # `use_grad_clip` bool kept for our earlier configs
+        # reference key `clip_grad_norm` is a boolean gate: gsasr_model.py
+        # always clips at the hardcoded norm 5 when truthy. Accept a
+        # numeric value as a custom norm; map `True` to 5.0. Legacy
+        # `use_grad_clip` bool kept for our earlier configs.
         clip_grad_norm=(
-            (float(t["clip_grad_norm"]) if t["clip_grad_norm"] else None)
+            ((5.0 if t["clip_grad_norm"] is True
+              else float(t["clip_grad_norm"]))
+             if t["clip_grad_norm"] else None)
             if "clip_grad_norm" in t
             else (5.0 if t.get("use_grad_clip", True) else None)),
         accumulation_steps=int(t.get("accumulation_steps", 1)),

@@ -159,12 +159,24 @@ class Trainer:
             # approximation vs the reference's exact crop.
             smap = ssim(out * mask, batch["gt"] * mask, reduce=False)
             win = 11
-            vh = jnp.maximum(
-                jnp.asarray(batch["gt_h"], jnp.float32) - (win - 1), 0.0)
-            vw = jnp.maximum(
-                jnp.asarray(batch["gt_w"], jnp.float32) - (win - 1), 0.0)
-            denom = jnp.maximum(jnp.sum(vh * vw) * out.shape[-1], 1.0)
-            l_ssim = cfg.ssim_weight * jnp.sum(1.0 - smap) / denom
+            # Per-sample mask over the valid-window lattice: window (i, j)
+            # is fully inside the real crop iff i < gt_h-win+1 and
+            # j < gt_w-win+1. Per-sample mean of (1-ssim) over its own
+            # valid windows, then equal-weight average across the batch —
+            # matching the reference's per-crop SSIMLoss + /b averaging
+            # (gsasr_model.py:227-242) so larger crops in a mixed-scale
+            # batch are not overweighted.
+            wh, ww = smap.shape[1], smap.shape[2]
+            iy = jnp.arange(wh)[None, :, None, None]
+            ix = jnp.arange(ww)[None, None, :, None]
+            vh = jnp.asarray(batch["gt_h"], jnp.int32)[:, None, None, None]
+            vw = jnp.asarray(batch["gt_w"], jnp.int32)[:, None, None, None]
+            wmask = ((iy < vh - (win - 1)) & (ix < vw - (win - 1))
+                     ).astype(smap.dtype)  # (B, wh, ww, 1)
+            num = jnp.sum((1.0 - smap) * wmask, axis=(1, 2, 3))
+            den = jnp.sum(wmask, axis=(1, 2, 3)) * smap.shape[-1]
+            per_sample = num / jnp.maximum(den, 1.0)
+            l_ssim = cfg.ssim_weight * per_sample.mean()
             return l_pix + l_ssim, {"l_pix": l_pix, "l_ssim": l_ssim}
         return l_pix, {"l_pix": l_pix}
 
