@@ -37,12 +37,22 @@ def main():
     from gsasr_tpu.config import (apply_overrides, build_networks,
                                   build_train_config, load_options)
     from gsasr_tpu.data.datasets import ContinuousBicubicDataset, batch_iterator
+    from gsasr_tpu.data.prefetch import DevicePrefetcher
+    from gsasr_tpu.parallel.mesh import batch_sharding
     from gsasr_tpu.train import Trainer
-    from gsasr_tpu.utils.checkpoint import (latest_step, restore_checkpoint,
+    from gsasr_tpu.utils.checkpoint import (latest_step, mark_best,
+                                            restore_checkpoint,
                                             save_checkpoint)
-
-    print(get_env_info(), flush=True)
+    from gsasr_tpu.utils.logging import (AvgTimer, MessageLogger,
+                                         MetricHistory, get_root_logger,
+                                         init_wandb_logger)
     opt = apply_overrides(load_options(args.opt), args.force_yml)
+    exp_dir = opt.get("path", {}).get(
+        "experiments_root", f"experiments/{opt.get('name', 'run')}")
+    import os
+    os.makedirs(exp_dir, exist_ok=True)
+    logger = get_root_logger(log_file=f"{exp_dir}/train.log")
+    logger.info(get_env_info())
     enc, dec = build_networks(opt)
     cfg = build_train_config(opt)
     trainer = Trainer(enc, dec, cfg)
@@ -84,14 +94,12 @@ def main():
     if pg is not None:
         state = state.replace(params_g=pg, ema_g=jax.tree_util.tree_map(
             jnp.copy, pg))
-        print("loaded pretrain_network_g")
+        logger.info("loaded pretrain_network_g")
     if pd is not None:
         state = state.replace(params_d=pd, ema_d=jax.tree_util.tree_map(
             jnp.copy, pd))
-        print("loaded pretrain_network_fea2gs")
+        logger.info("loaded pretrain_network_fea2gs")
 
-    exp_dir = opt.get("path", {}).get(
-        "experiments_root", f"experiments/{opt.get('name', 'run')}")
     ckpt_dir = f"{exp_dir}/checkpoints"
     start_iter = 0
     if args.auto_resume:
@@ -99,30 +107,46 @@ def main():
         if step is not None:
             state = restore_checkpoint(ckpt_dir, step, state)
             start_iter = int(step)
-            print(f"resumed from iter {start_iter}")
+            logger.info(f"resumed from iter {start_iter}")
 
     total = cfg.total_iter
-    save_freq = opt.get("logger", {}).get("save_checkpoint_freq", 5000)
-    print_freq = opt.get("logger", {}).get("print_freq", 100)
+    log_opt = opt.get("logger", {}) or {}
+    save_freq = log_opt.get("save_checkpoint_freq", 5000)
+    print_freq = log_opt.get("print_freq", 100)
     val_opt = next((v for k, v in opt.get("datasets", {}).items()
                     if k.startswith("val")), None)
     val_freq = opt.get("val", {}).get("val_freq", 10000)
 
+    # Observability (reference train.py:98-231): MessageLogger + tb event
+    # files + wandb (optional) + validation metric history with best
+    # tracking (base_model.py:50-73).
+    tb_dir = (f"{exp_dir}/tb_logger"
+              if log_opt.get("use_tb_logger", True) else None)
+    msg_logger = MessageLogger(total, start_iter, tb_dir=tb_dir)
+    init_wandb_logger(opt)
+    history = MetricHistory()
+
     def run_validation(it, state):
-        """In-training validation (reference `dist_validation`, rank 0,
-        EMA weights, PSNR/SSIM protocol)."""
+        """In-training validation (reference `nondist_validation`, rank 0,
+        EMA weights, metrics from the yaml `val.metrics` table)."""
         import numpy as np
         from gsasr_tpu.data.datasets import PairedImageDataset
-        from gsasr_tpu.metrics import (calculate_psnr, calculate_ssim,
-                                       crop_border_for_scale)
+        from gsasr_tpu.metrics import calculate_metric, crop_border_for_scale
         from gsasr_tpu.model import sr_forward
 
         ds = PairedImageDataset(val_opt["dataroot_gt"],
                                 val_opt["dataroot_lq"],
                                 val_opt.get("scale", 4))
         crop = crop_border_for_scale(ds.scale)
-        psnrs, ssims = [], []
-        for i in range(min(len(ds), val_opt.get("max_images", 10))):
+        metric_opts = opt.get("val", {}).get("metrics") or {
+            "psnr": dict(type="calculate_psnr", crop_border=crop,
+                         test_y_channel=True),
+            "ssim": dict(type="calculate_ssim", crop_border=crop,
+                         test_y_channel=True),
+        }
+        n_images = min(len(ds), val_opt.get("max_images", len(ds)))
+        sums = {k: 0.0 for k in metric_opts}
+        for i in range(n_images):
             item = ds[i]
             lq = jnp.asarray(item["lq"])[None]
             want = (item["gt"].shape[0], item["gt"].shape[1])
@@ -131,48 +155,70 @@ def main():
                 sr_size=want, dmax=0.1))[0]
             sr255 = np.clip(out, 0, 1) * 255
             gt255 = item["gt"] * 255
-            psnrs.append(calculate_psnr(sr255, gt255, crop,
-                                        test_y_channel=True,
-                                        channel_order="rgb"))
-            ssims.append(calculate_ssim(sr255, gt255, crop,
-                                        test_y_channel=True,
-                                        channel_order="rgb"))
-        print(f"VAL @ iter {it}: psnr {np.mean(psnrs):.4f} "
-              f"ssim {np.mean(ssims):.5f} over {len(psnrs)} images",
-              flush=True)
+            for name, mopt in metric_opts.items():
+                sums[name] += calculate_metric(
+                    dict(img=sr255, img2=gt255), mopt)
+        results = {k: v / max(n_images, 1) for k, v in sums.items()}
+        ds_name = val_opt.get("name", "val")
+        improved = history.update(ds_name, it, results)
+        msg_logger.log_validation(it, ds_name, results, best=history)
+        return improved
 
     it = start_iter
     epoch = 0
     num_hosts = jax.process_count()
     host = jax.process_index()
-    t_last = time.time()
+    num_workers = ds_opt.get("num_worker_per_gpu", 4)
+    data_timer = AvgTimer()
+    iter_timer = AvgTimer()
+    data_sharding = batch_sharding(trainer.mesh)
     while it < total:
-        for batch in batch_iterator(
+        # Threaded sample assembly + device prefetch: decode/resize of
+        # upcoming batches and the host->device copy both overlap the
+        # running step (reference prefetch_dataloader.py:61-123).
+        batches = iter(DevicePrefetcher(
+            batch_iterator(
                 dataset, batch_size, epoch=epoch,
                 seed=opt.get("manual_seed", 0),
                 num_shards=num_hosts, shard=host,
-                enlarge_ratio=ds_opt.get("dataset_enlarge_ratio", 1)):
-            state, metrics = trainer.step(
-                state, {k: jnp.asarray(v) for k, v in batch.items()})
+                enlarge_ratio=ds_opt.get("dataset_enlarge_ratio", 1),
+                num_workers=num_workers),
+            sharding=data_sharding))
+        while True:
+            data_timer.start()
+            batch = next(batches, None)
+            data_timer.record()
+            if batch is None:
+                break
+            iter_timer.start()
+            state, metrics = trainer.step(state, batch)
             it += 1
             if it % print_freq == 0:
-                loss = float(metrics["loss"])
-                dt = (time.time() - t_last) / print_freq
-                t_last = time.time()
-                print(f"iter {it}/{total} loss {loss:.4f} "
-                      f"lr {float(metrics['lr']):.2e} {dt * 1e3:.0f} ms/it",
-                      flush=True)
+                jax.block_until_ready(metrics["loss"])
+                iter_timer.record()
+                scalars = {k: float(v) for k, v in metrics.items()
+                           if k != "lr"}
+                scalars["data_time"] = data_timer.get_avg_time()
+                msg_logger(it, epoch, float(metrics["lr"]), scalars,
+                           iter_time=iter_timer.get_avg_time())
+            else:
+                iter_timer.record()
             if it % save_freq == 0 and host == 0:
                 save_checkpoint(ckpt_dir, it, state)
             if val_opt is not None and it % val_freq == 0 and host == 0:
-                run_validation(it, state)
+                improved = run_validation(it, state)
+                if improved:
+                    # keep the best-metric step around even past `keep`
+                    # (base_model.py:50-73 best tracking).
+                    save_checkpoint(ckpt_dir, it, state)
+                    mark_best(ckpt_dir, it)
             if it >= total:
                 break
         epoch += 1
 
     if host == 0:
         save_checkpoint(ckpt_dir, it, state)
-    print("training done")
+    logger.info("training done")
 
 
 if __name__ == "__main__":

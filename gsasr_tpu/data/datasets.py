@@ -90,7 +90,16 @@ class ContinuousBicubicDataset:
         return len(self.paths)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
-        rng = self._rng
+        return self.sample(index, self._rng)
+
+    def sample(self, index: int, rng) -> Dict[str, np.ndarray]:
+        """Draw one training sample using an explicit RNG.
+
+        The reference seeds one RNG per DataLoader worker process
+        (`basicsr/data/__init__.py:97-101`); here the parallel batch
+        iterator derives one `random.Random` per (epoch, position) so the
+        sample stream is deterministic regardless of thread scheduling.
+        """
         img_gt = imread_rgb(self.paths[index])
         h_img, w_img, _ = img_gt.shape
 
@@ -191,19 +200,54 @@ def epoch_indices(n: int, epoch: int, seed: int = 0,
     return idx[shard::num_shards]
 
 
+def _collate(samples) -> Dict[str, np.ndarray]:
+    keys = ("lq", "gt", "gt_h", "gt_w") if "gt" in samples[0] else (
+        "lq", "sample_coords", "gt_samples", "gt_h", "gt_w")
+    batch = {k: np.stack([s[k] for s in samples]) for k in keys}
+    batch["scale"] = np.stack([s["scale_modify"][0] for s in samples])
+    return batch
+
+
 def batch_iterator(dataset: ContinuousBicubicDataset, batch_size: int,
                    *, epoch: int = 0, seed: int = 0, num_shards: int = 1,
-                   shard: int = 0,
-                   enlarge_ratio: int = 1) -> Iterator[Dict[str, np.ndarray]]:
-    """Collated batches for the trainer (drops the last partial batch)."""
+                   shard: int = 0, enlarge_ratio: int = 1,
+                   num_workers: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    """Collated batches for the trainer (drops the last partial batch).
+
+    num_workers > 0 assembles samples on a thread pool (the TPU equivalent
+    of the reference's multi-worker DataLoader, `basicsr/data/__init__.py:40`)
+    with a sliding submission window so decode/resize of upcoming batches
+    overlaps the current train step. Per-position RNGs keep the stream
+    deterministic for a given (seed, epoch) independent of thread timing.
+    """
     idx = epoch_indices(len(dataset), epoch, seed, enlarge_ratio,
                         num_shards, shard)
-    for start in range(0, len(idx) - batch_size + 1, batch_size):
-        samples = [dataset[int(i)] for i in idx[start:start + batch_size]]
-        batch = {
-            k: np.stack([s[k] for s in samples])
-            for k in ("lq", "gt", "gt_h", "gt_w")
-        }
-        batch["scale"] = np.stack(
-            [s["scale_modify"][0] for s in samples])
-        yield batch
+    n_used = (len(idx) // batch_size) * batch_size
+    if num_workers <= 0:
+        for start in range(0, len(idx) - batch_size + 1, batch_size):
+            yield _collate([dataset[int(i)]
+                            for i in idx[start:start + batch_size]])
+        return
+
+    import concurrent.futures
+    import random as _random
+    from collections import deque
+
+    def fetch(pos: int):
+        r = _random.Random((seed * 1000003 + epoch) * 1000003 + pos)
+        return dataset.sample(int(idx[pos]), r)
+
+    ex = concurrent.futures.ThreadPoolExecutor(num_workers)
+    try:
+        pending: deque = deque()
+        window = max(2 * batch_size, 2 * num_workers)
+        submitted = 0
+        for start in range(0, n_used, batch_size):
+            goal = min(start + batch_size + window, n_used)
+            while submitted < goal:
+                pending.append(ex.submit(fetch, submitted))
+                submitted += 1
+            yield _collate([pending.popleft().result()
+                            for _ in range(batch_size)])
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)

@@ -112,3 +112,23 @@ def crop_border_for_scale(scale: float) -> int:
     (`README.md:349-355`), integer scales rounded."""
     s = int(round(scale))
     return s if s <= 8 else 8
+
+
+def calculate_metric(data: dict, opt: dict) -> float:
+    """Registry-style dispatcher (`basicsr/metrics/__init__.py:13-23`):
+    ``opt`` carries a ``type`` key naming the metric function, the rest are
+    its kwargs; ``data`` holds the images. NIQE/LPIPS/DISTS resolve lazily
+    (they need bundled params / converted weights)."""
+    opt = dict(opt)
+    metric_type = opt.pop("type")
+    if metric_type == "calculate_psnr":
+        return calculate_psnr(**data, **opt)
+    if metric_type == "calculate_ssim":
+        return calculate_ssim(**data, **opt)
+    if metric_type == "calculate_niqe":
+        from gsasr_tpu.metrics_niqe import calculate_niqe
+        return calculate_niqe(**data, **opt)
+    if metric_type in ("calculate_lpips", "calculate_dists"):
+        from gsasr_tpu import metrics_perceptual as mp
+        return getattr(mp, metric_type)(**data, **opt)
+    raise ValueError(f"unknown metric type {metric_type!r}")

@@ -17,6 +17,7 @@ gsasr_tpu.utils.torch_convert mapping) for parity evaluation.
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -55,12 +56,33 @@ def save_checkpoint(directory, step: int, state, *, keep: int = 5,
 
 
 def _prune(directory: Path, keep: int):
+    # Never prune the step the `best` symlink points at (best-metric
+    # checkpoint tracking, reference `base_model.py:50-73`).
+    best = None
+    link = directory / "best"
+    if link.is_symlink():
+        tgt = os.readlink(link)
+        if os.path.basename(tgt).isdigit():
+            best = int(os.path.basename(tgt))
     steps = sorted(
         (int(p.name) for p in directory.iterdir()
          if p.is_dir() and p.name.isdigit()))
     for s in steps[:-keep]:
+        if s == best:
+            continue
         import shutil
         shutil.rmtree(directory / str(s), ignore_errors=True)
+
+
+def mark_best(directory, step: int):
+    """Point `<directory>/best` at the given saved step (atomic refresh)."""
+    directory = Path(directory).absolute()
+    link = directory / "best"
+    tmp = directory / ".best.tmp"
+    if tmp.is_symlink() or tmp.exists():
+        tmp.unlink()
+    os.symlink(str(step), tmp)
+    os.replace(tmp, link)
 
 
 def latest_step(directory) -> Optional[int]:

@@ -96,10 +96,78 @@ class MessageLogger:
             self.tb.add_scalar("train/lr", lr, it)
 
     def log_validation(self, it: int, dataset: str,
-                       metrics: Dict[str, float]):
+                       metrics: Dict[str, float],
+                       best: Optional["MetricHistory"] = None):
         msg = f"Validation {dataset} @ iter {it:,d}: " + ", ".join(
             f"{k}: {v:.4f}" for k, v in metrics.items())
+        if best is not None:
+            msg += " | best: " + ", ".join(
+                f"{k}: {rec['val']:.4f}@{rec['iter']:,d}"
+                for k, rec in best.best(dataset).items())
         self.logger.info(msg)
         if self.tb is not None:
             for k, v in metrics.items():
                 self.tb.add_scalar(f"metrics/{dataset}/{k}", v, it)
+
+
+# Metrics where a smaller value is better (`basicsr/metrics`: lpips, dists,
+# niqe, fid); everything else (psnr, ssim) is higher-better, matching the
+# reference's per-metric `better: higher|lower` yaml key default.
+_LOWER_BETTER = {"lpips", "dists", "niqe", "fid"}
+
+
+class MetricHistory:
+    """Validation metric history with best tracking — equivalent of
+    `base_model.py:50-73` (`_initialize_best_metric_results` /
+    `_update_best_metric_result`)."""
+
+    def __init__(self):
+        self._hist: Dict[str, Dict[str, list]] = {}
+        self._best: Dict[str, Dict[str, Dict]] = {}
+
+    def update(self, dataset: str, it: int,
+               metrics: Dict[str, float]) -> bool:
+        """Record one validation round; returns True if any metric improved
+        on its best."""
+        hist = self._hist.setdefault(dataset, {})
+        best = self._best.setdefault(dataset, {})
+        improved = False
+        for name, val in metrics.items():
+            hist.setdefault(name, []).append((it, float(val)))
+            lower = name.lower() in _LOWER_BETTER
+            rec = best.get(name)
+            if (rec is None or (val < rec["val"] if lower
+                                else val > rec["val"])):
+                best[name] = {"val": float(val), "iter": it}
+                improved = True
+        return improved
+
+    def best(self, dataset: str) -> Dict[str, Dict]:
+        return self._best.get(dataset, {})
+
+    def history(self, dataset: str, metric: str):
+        return self._hist.get(dataset, {}).get(metric, [])
+
+
+def init_wandb_logger(opt) -> Optional[object]:
+    """W&B run init — equivalent of `basicsr/utils/logger.py:126-144`
+    (resume by wandb_id, project from opt['logger']['wandb']). Returns the
+    run object, or None when the wandb package is unavailable (zero-egress
+    environments) or unconfigured."""
+    wandb_opt = (opt.get("logger", {}) or {}).get("wandb") or {}
+    if not wandb_opt.get("project"):
+        return None
+    try:
+        import wandb  # type: ignore
+    except ImportError:
+        get_root_logger().warning(
+            "wandb requested in yaml but the package is not installed; "
+            "continuing without it")
+        return None
+    resume_id = wandb_opt.get("resume_id")
+    kwargs = dict(resume="allow", id=resume_id) if resume_id else {}
+    run = wandb.init(project=wandb_opt["project"],
+                     name=opt.get("name"), config=dict(opt),
+                     sync_tensorboard=True, **kwargs)
+    get_root_logger().info(f"Use wandb logger; id={run.id}")
+    return run

@@ -144,3 +144,69 @@ def test_config_loader(tmp_path):
     assert enc.num_feat == 8 and dec.channel == 12
     tc = build_train_config(opt)
     assert tc.total_iter == 20 and tc.canvas_hw == (24, 24)
+
+
+def test_threaded_batch_iterator_deterministic(gt_dir):
+    """num_workers>0 must produce an identical batch stream run-to-run
+    (per-position RNGs make it independent of thread scheduling)."""
+    from gsasr_tpu.data.datasets import (ContinuousBicubicDataset,
+                                         batch_iterator)
+
+    ds = ContinuousBicubicDataset([str(gt_dir)], lr_size=24, seed=7)
+    a = list(batch_iterator(ds, 2, epoch=3, seed=7, num_workers=3))
+    b = list(batch_iterator(ds, 2, epoch=3, seed=7, num_workers=2))
+    assert len(a) == len(b) == 2
+    for ba, bb in zip(a, b):
+        assert set(ba) == set(bb)
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k])
+    # same index stream as the serial path (sample contents differ only in
+    # RNG draw, which is positional in both cases for a fixed seed/epoch)
+    c = list(batch_iterator(ds, 2, epoch=3, seed=7, num_workers=0))
+    assert len(c) == len(a)
+    assert all(ba["lq"].shape == bc["lq"].shape for ba, bc in zip(a, c))
+
+
+def test_metric_history_and_best():
+    from gsasr_tpu.utils.logging import MetricHistory
+
+    h = MetricHistory()
+    assert h.update("Set5", 100, {"psnr": 30.0, "lpips": 0.30})
+    assert not h.update("Set5", 200, {"psnr": 29.5, "lpips": 0.35})
+    assert h.update("Set5", 300, {"psnr": 31.0, "lpips": 0.40})  # psnr up
+    best = h.best("Set5")
+    assert best["psnr"] == {"val": 31.0, "iter": 300}
+    # lpips is lower-better: best stays at iter 100
+    assert best["lpips"] == {"val": 0.30, "iter": 100}
+    assert [v for _, v in h.history("Set5", "psnr")] == [30.0, 29.5, 31.0]
+
+
+def test_mark_best_survives_prune(tmp_path):
+    from gsasr_tpu.utils.checkpoint import _prune, mark_best
+
+    d = tmp_path / "ckpts"
+    d.mkdir()
+    for s in (100, 200, 300, 400, 500):
+        (d / str(s)).mkdir()
+    mark_best(d, 100)
+    _prune(d, keep=2)
+    kept = sorted(int(p.name) for p in d.iterdir() if p.name.isdigit())
+    assert kept == [100, 400, 500]  # best (100) outlives the keep window
+    mark_best(d, 500)  # atomic refresh over existing link
+    import os
+    assert os.readlink(d / "best") == "500"
+
+
+def test_calculate_metric_dispatch():
+    from gsasr_tpu.metrics import calculate_metric, calculate_psnr
+
+    g = np.random.default_rng(0)
+    img = (g.random((32, 32, 3)) * 255).astype(np.float64)
+    img2 = np.clip(img + g.normal(0, 4, img.shape), 0, 255)
+    via_registry = calculate_metric(
+        dict(img=img, img2=img2),
+        dict(type="calculate_psnr", crop_border=2, test_y_channel=True))
+    direct = calculate_psnr(img, img2, 2, test_y_channel=True)
+    assert via_registry == direct
+    with pytest.raises(ValueError):
+        calculate_metric(dict(img=img, img2=img2), dict(type="nope"))
