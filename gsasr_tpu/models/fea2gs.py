@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gsasr_tpu.models.common import MLP, pixel_shuffle
+from gsasr_tpu.ops.attention import window_attention
 
 
 # ---------------------------------------------------------------------------
@@ -139,12 +140,8 @@ class WindowCrossAttn(nn.Module):
         k = k.reshape(b_, n, nh, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b_, n, nh, hd).transpose(0, 2, 1, 3)
 
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q * (hd ** -0.5), k)
         bias = bias_table[idx.reshape(-1)].reshape(num_gs, n, nh)
-        attn = attn + bias.transpose(2, 0, 1)[None]
-        attn = jax.nn.softmax(attn.astype(jnp.float32),
-                           axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = window_attention(q, k, v, bias.transpose(2, 0, 1))
         out = out.transpose(0, 2, 1, 3).reshape(b_, num_gs, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
@@ -177,12 +174,8 @@ class GSSelfAttn(nn.Module):
         k = k.reshape(b_, num_gs, nh, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b_, num_gs, nh, hd).transpose(0, 2, 1, 3)
 
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q * (hd ** -0.5), k)
         bias = bias_table[idx.reshape(-1)].reshape(num_gs, num_gs, nh)
-        attn = attn + bias.transpose(2, 0, 1)[None]
-        attn = jax.nn.softmax(attn.astype(jnp.float32),
-                           axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = window_attention(q, k, v, bias.transpose(2, 0, 1))
         out = out.transpose(0, 2, 1, 3).reshape(b_, num_gs, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 

@@ -81,11 +81,11 @@ def apply_rope(x, phases):
 
 
 def _sdpa(q, k, v):
-    """Plain scaled-dot-product attention over (B, nh, N, hd)."""
-    hd = q.shape[-1]
-    attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (hd ** -0.5)
-    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    """Scaled-dot-product attention over (B, nh, N, hd) — fused Pallas
+    window kernel (the reference uses F.scaled_dot_product_attention /
+    FlashAttention here; `window_attention` is the TPU equivalent)."""
+    from gsasr_tpu.ops.attention import window_attention
+    return window_attention(q, k, v)
 
 
 def _split_heads(x, nh):

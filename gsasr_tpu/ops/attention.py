@@ -1,0 +1,156 @@
+"""Fused window attention for the Fea2GS decoder stack (Pallas, TPU).
+
+The decoder is a stack of 38 window-attention layers (cross + self,
+`/root/reference/utils/fea2gs.py:116-194,284-350`); its hot loop is
+``softmax(q @ k^T * scale + bias) @ v`` over thousands of small static
+windows (e.g. 225 windows x 6 heads x 144 tokens x 30 head-dim at the
+180^2 -> 720^2 benchmark). XLA materializes the (B, nh, Tq, Tk) logits
+tensor in HBM for every layer (~112 MB each way at the benchmark shape);
+with 38 layers that round-trip dominates the decoder stage.
+
+This kernel keeps a whole window's attention in VMEM: one grid step loads
+a block of windows for one head, computes logits + bias, takes a float32
+softmax and applies it to V without ever writing the logits to HBM.
+Windows are small (<= a few hundred tokens), so no flash-style online
+softmax is needed — the full (Tq, Tk) tile fits comfortably.
+
+Backward: ``jax.custom_vjp`` recomputes attention via the plain einsum
+composition and differentiates through that (one extra fused forward
+instead of storing per-layer probabilities — the memory-for-FLOPs trade
+that suits TPU training).
+
+Layout notes (why this is TPU-first rather than a CUDA translation):
+- grid = (head, window-blocks): the rel-pos bias block depends only on the
+  head index, so it stays resident in VMEM across the whole window sweep;
+- Tq/Tk land on the sublane/lane axes (144 -> 2 lane tiles); hd=30 rides
+  the contraction where MXU padding is cheapest;
+- dots are issued with ``preferred_element_type=float32`` and the softmax
+  is computed in float32 regardless of the model dtype (matches the
+  reference's fp32-softmax AMP behavior).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pick_block_b(n: int, target: int = 16) -> int:
+    """Largest divisor of n that is <= target (avoids padding the window
+    axis; window counts are composite in practice: b * h/ws * w/ws)."""
+    for cand in range(min(target, n), 0, -1):
+        if n % cand == 0:
+            return cand
+    return 1
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
+    # q_ref: (WB, 1, Tq, hd); k_ref/v_ref: (WB, 1, Tk, hd);
+    # bias_ref: (1, Tq, Tk) f32; o_ref: (WB, 1, Tq, hd).
+    bias = bias_ref[0]
+    wb = q_ref.shape[0]
+    for w in range(wb):
+        q = q_ref[w, 0]
+        k = k_ref[w, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s * scale + bias
+        # float32 softmax, numerically-stable (row max subtracted).
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[w, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[w, 0] = o.astype(o_ref.dtype)
+
+
+def _attention_reference(q, k, v, bias, scale):
+    """Plain composition (the pre-kernel decoder path) — used for the
+    backward pass and as the numeric oracle in tests."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    if bias is not None:
+        s = s + bias[None].astype(s.dtype)
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def _attention_pallas(q, k, v, bias, scale):
+    b, nh, tq, hd = q.shape
+    tk = k.shape[2]
+    if bias is None:
+        bias = jnp.zeros((nh, tq, tk), jnp.float32)
+    bias = bias.astype(jnp.float32)
+
+    wb = _pick_block_b(b)
+    grid = (nh, b // wb)
+    qspec = pl.BlockSpec((wb, 1, tq, hd), lambda h, i: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((wb, 1, tk, hd), lambda h, i: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((wb, 1, tk, hd), lambda h, i: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, tq, tk), lambda h, i: (h, 0, 0),
+                         memory_space=pltpu.VMEM)
+    flops_step = 2 * tq * tk * hd * 2 * wb
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        grid=grid,
+        in_specs=[qspec, kspec, vspec, bspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_step * nh * (b // wb),
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * nh * tq * tk),
+        interpret=_interpret(),
+    )(q, k, v, bias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_window_attention(q, k, v, bias, scale: float):
+    """softmax(q @ k^T * scale + bias) @ v without materializing logits.
+
+    q: (B, nh, Tq, hd); k, v: (B, nh, Tk, hd); bias: (nh, Tq, Tk) or None
+    (additive, broadcast over B — the rel-pos-bias shape of
+    `fea2gs.py:147-153,320-326`). Returns (B, nh, Tq, hd) in q's dtype.
+    """
+    return _attention_pallas(q, k, v, bias, scale)
+
+
+def _fwa_fwd(q, k, v, bias, scale):
+    return _attention_pallas(q, k, v, bias, scale), (q, k, v, bias)
+
+
+def _fwa_bwd(scale, res, g):
+    q, k, v, bias = res
+    if bias is None:
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _attention_reference(q_, k_, v_, None, scale),
+            q, k, v)
+        return (*vjp(g), None)
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, b_: _attention_reference(q_, k_, v_, b_, scale),
+        q, k, v, bias)
+    return vjp(g)
+
+
+fused_window_attention.defvjp(_fwa_fwd, _fwa_bwd)
+
+
+def window_attention(q, k, v, bias: Optional[jax.Array] = None,
+                     *, scale: Optional[float] = None) -> jax.Array:
+    """Public entry: fused on TPU, interpreter elsewhere (same kernel)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return fused_window_attention(q, k, v, bias, float(scale))

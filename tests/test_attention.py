@@ -1,0 +1,78 @@
+"""Fused window-attention kernel: parity vs the einsum composition.
+
+The kernel (gsasr_tpu/ops/attention.py) replaces the decoder's
+materialized-logits attention (`/root/reference/utils/fea2gs.py:158-184,
+320-340`); these gates pin it to the plain composition in fwd and bwd,
+including the rel-pos-bias broadcast and the no-bias (RoPE/sdpa) path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsasr_tpu.ops.attention import (_attention_reference, _pick_block_b,
+                                     window_attention)
+
+SHAPES = [
+    (6, 2, 16, 16, 8),       # tiny
+    (9, 6, 144, 144, 30),    # Fea2GS decoder window (gs_seed 144, ch 180)
+    (5, 3, 12, 20, 10),      # rectangular q/k, odd batch
+]
+
+
+def _rand(shape, seed):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(shape), jnp.float32)
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_forward_parity(shape):
+    b, nh, tq, tk, hd = shape
+    q, k, v = (_rand((b, nh, t, hd), i)
+               for i, t in enumerate((tq, tk, tk)))
+    bias = _rand((nh, tq, tk), 3)
+    out = window_attention(q, k, v, bias)
+    ref = _attention_reference(q, k, v, bias, hd ** -0.5)
+    np.testing.assert_allclose(out, ref, atol=2e-6)
+
+
+def test_forward_parity_nobias():
+    q, k, v = (_rand((7, 4, 36, 16), i) for i in range(3))
+    np.testing.assert_allclose(
+        window_attention(q, k, v),
+        _attention_reference(q, k, v, None, 16 ** -0.5), atol=2e-6)
+
+
+def test_gradients_match_composition():
+    b, nh, tq, tk, hd = 4, 2, 24, 24, 8
+    q, k, v = (_rand((b, nh, t, hd), i)
+               for i, t in enumerate((tq, tk, tk)))
+    bias = _rand((nh, tq, tk), 3)
+    w = jnp.cos(jnp.arange(hd, dtype=jnp.float32))
+
+    def loss_fused(q, k, v, b):
+        return (window_attention(q, k, v, b) * w).sum()
+
+    def loss_ref(q, k, v, b):
+        return (_attention_reference(q, k, v, b, hd ** -0.5) * w).sum()
+
+    ga = jax.grad(loss_fused, (0, 1, 2, 3))(q, k, v, bias)
+    gb = jax.grad(loss_ref, (0, 1, 2, 3))(q, k, v, bias)
+    for a, r, name in zip(ga, gb, "qkvb"):
+        np.testing.assert_allclose(a, r, atol=1e-5, err_msg=f"grad {name}")
+
+
+def test_custom_scale_and_jit():
+    q, k, v = (_rand((3, 2, 16, 8), i) for i in range(3))
+    f = jax.jit(lambda q, k, v: window_attention(q, k, v, scale=0.5))
+    np.testing.assert_allclose(
+        f(q, k, v), _attention_reference(q, k, v, None, 0.5), atol=2e-6)
+
+
+def test_pick_block_b():
+    assert _pick_block_b(225) == 15   # bench window count: divisor, no pad
+    assert _pick_block_b(256) == 16
+    assert _pick_block_b(16) == 16
+    assert _pick_block_b(7) == 7
+    assert _pick_block_b(13) == 13
