@@ -24,8 +24,22 @@ def main():
     args = p.parse_args()
 
     if args.multihost:
+        import os
+
         import jax
-        jax.distributed.initialize()
+
+        # On a TPU pod slice initialize() discovers topology from the
+        # runtime; off-pod (CPU/GPU clusters) the standard rendezvous
+        # variables drive it (equivalent of the reference's
+        # init_dist pytorch launcher reading RANK/WORLD_SIZE,
+        # `basicsr/utils/dist_util.py:11-64`).
+        kwargs = {}
+        if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            kwargs = dict(
+                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]))
+        jax.distributed.initialize(**kwargs)
 
     from gsasr_tpu.utils.env import enable_compilation_cache, get_env_info
     enable_compilation_cache()
@@ -68,7 +82,11 @@ def main():
         clamp_scale_to_image=ds_opt.get("clamp_scale_to_image", False),
         sample_size=ds_opt.get("sample_size", 0),
         seed=opt.get("manual_seed", 0))
-    batch_size = ds_opt.get("batch_size_per_gpu", 16) * jax.device_count()
+    # Per-host batch: each process loads its own shard; the global batch
+    # (what the jitted step sees) is per_gpu * total devices.
+    batch_size = ds_opt.get("batch_size_per_gpu", 16) * \
+        jax.local_device_count()
+    global_batch = ds_opt.get("batch_size_per_gpu", 16) * jax.device_count()
     lr_size = ds_opt.get("lr_size", 48)
 
     state = trainer.init(
@@ -122,8 +140,11 @@ def main():
     # tracking (base_model.py:50-73).
     tb_dir = (f"{exp_dir}/tb_logger"
               if log_opt.get("use_tb_logger", True) else None)
-    msg_logger = MessageLogger(total, start_iter, tb_dir=tb_dir)
+    # wandb must init BEFORE the tb SummaryWriter is created:
+    # sync_tensorboard=True only patches writers constructed after
+    # wandb.init (reference logger.py:126-131 "to allow proper sync").
     init_wandb_logger(opt)
+    msg_logger = MessageLogger(total, start_iter, tb_dir=tb_dir)
     history = MetricHistory()
 
     def run_validation(it, state):
@@ -138,20 +159,34 @@ def main():
                                 val_opt["dataroot_lq"],
                                 val_opt.get("scale", 4))
         crop = crop_border_for_scale(ds.scale)
+        # Images in this pipeline are RGB throughout; calculate_psnr/ssim
+        # default to channel_order='bgr' (cv2 convention of the reference
+        # configs), so the order must be forced to 'rgb' here — including
+        # for yaml-supplied metric opts — or Y-channel metrics use swapped
+        # R/B BT.601 coefficients.
         metric_opts = opt.get("val", {}).get("metrics") or {
             "psnr": dict(type="calculate_psnr", crop_border=crop,
                          test_y_channel=True),
             "ssim": dict(type="calculate_ssim", crop_border=crop,
                          test_y_channel=True),
         }
+        metric_opts = {name: {**mopt, "channel_order": "rgb"}
+                       for name, mopt in metric_opts.items()}
         n_images = min(len(ds), val_opt.get("max_images", len(ds)))
         sums = {k: 0.0 for k in metric_opts}
+        # Materialize EMA params host-locally: feeding globally-sharded
+        # arrays into the stage-jitted sr_forward would pull validation
+        # onto the global mesh (all processes must participate); local
+        # numpy copies keep it a per-host computation (replicated arrays
+        # are locally addressable).
+        to_local = lambda tree: jax.tree_util.tree_map(np.asarray, tree)
+        ema_g, ema_d = to_local(state.ema_g), to_local(state.ema_d)
         for i in range(n_images):
             item = ds[i]
             lq = jnp.asarray(item["lq"])[None]
             want = (item["gt"].shape[0], item["gt"].shape[1])
             out = np.asarray(sr_forward(
-                enc, dec, state.ema_g, state.ema_d, lq, ds.scale,
+                enc, dec, ema_g, ema_d, lq, ds.scale,
                 sr_size=want, dmax=0.1))[0]
             sr255 = np.clip(out, 0, 1) * 255
             gt255 = item["gt"] * 255
@@ -160,8 +195,11 @@ def main():
                     dict(img=sr255, img2=gt255), mopt)
         results = {k: v / max(n_images, 1) for k, v in sums.items()}
         ds_name = val_opt.get("name", "val")
+        # identical across hosts (same data, replicated params), so the
+        # improved-decision is consistent; only host 0 logs.
         improved = history.update(ds_name, it, results)
-        msg_logger.log_validation(it, ds_name, results, best=history)
+        if jax.process_index() == 0:
+            msg_logger.log_validation(it, ds_name, results, best=history)
         return improved
 
     it = start_iter
@@ -176,14 +214,15 @@ def main():
         # Threaded sample assembly + device prefetch: decode/resize of
         # upcoming batches and the host->device copy both overlap the
         # running step (reference prefetch_dataloader.py:61-123).
-        batches = iter(DevicePrefetcher(
+        prefetcher = DevicePrefetcher(
             batch_iterator(
                 dataset, batch_size, epoch=epoch,
                 seed=opt.get("manual_seed", 0),
                 num_shards=num_hosts, shard=host,
                 enlarge_ratio=ds_opt.get("dataset_enlarge_ratio", 1),
                 num_workers=num_workers),
-            sharding=data_sharding))
+            sharding=data_sharding)
+        batches = iter(prefetcher)
         while True:
             data_timer.start()
             batch = next(batches, None)
@@ -203,21 +242,27 @@ def main():
                            iter_time=iter_timer.get_avg_time())
             else:
                 iter_timer.record()
-            if it % save_freq == 0 and host == 0:
+            # orbax checkpointing is multiprocess-coordinated: ALL hosts
+            # call save (primary writes); gating on host 0 would deadlock
+            # a multi-process run on globally-sharded arrays.
+            if it % save_freq == 0:
                 save_checkpoint(ckpt_dir, it, state)
-            if val_opt is not None and it % val_freq == 0 and host == 0:
+            if val_opt is not None and it % val_freq == 0:
                 improved = run_validation(it, state)
                 if improved:
                     # keep the best-metric step around even past `keep`
                     # (base_model.py:50-73 best tracking).
                     save_checkpoint(ckpt_dir, it, state)
-                    mark_best(ckpt_dir, it)
+                    if host == 0:
+                        mark_best(ckpt_dir, it)
             if it >= total:
+                # Shut the prefetcher down cleanly instead of abandoning
+                # its worker thread blocked on a full queue.
+                prefetcher.close()
                 break
         epoch += 1
 
-    if host == 0:
-        save_checkpoint(ckpt_dir, it, state)
+    save_checkpoint(ckpt_dir, it, state)
     logger.info("training done")
 
 

@@ -234,7 +234,12 @@ def batch_iterator(dataset: ContinuousBicubicDataset, batch_size: int,
     from collections import deque
 
     def fetch(pos: int):
-        r = _random.Random((seed * 1000003 + epoch) * 1000003 + pos)
+        # Fold the shard index into the seed so multi-host runs draw
+        # decorrelated scale/augment/crop streams per host (reference
+        # worker_init_fn: worker_seed = num_workers*rank+worker_id+seed,
+        # `basicsr/data/__init__.py:97-101`).
+        r = _random.Random(
+            ((seed * 1000003 + epoch) * 1000003 + shard) * 1000003 + pos)
         return dataset.sample(int(idx[pos]), r)
 
     ex = concurrent.futures.ThreadPoolExecutor(num_workers)
