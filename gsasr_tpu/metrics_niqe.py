@@ -6,9 +6,10 @@ pairwise-product maps per 96x96 block at two scales, then the Mahalanobis-
 style distance to pristine MVG statistics.
 
 The pristine parameters (mu/cov over 36 AGGD features + the 7x7 gaussian
-window) are fitted constants shipped by BasicSR as `niqe_pris_params.npz`;
-we load them from GSASR_NIQE_PARAMS or the mounted reference. NIQE raises
-without them.
+window) are fitted constants shipped by BasicSR as `niqe_pris_params.npz`
+(`TrainTestGSASR/basicsr/metrics/niqe_pris_params.npz`); a copy of that
+constant table is bundled at `gsasr_tpu/assets/niqe_pris_params.npz` so the
+metric is self-contained. GSASR_NIQE_PARAMS overrides the path.
 """
 
 from __future__ import annotations
@@ -20,7 +21,8 @@ import numpy as np
 
 _PARAMS_PATHS = [
     os.environ.get("GSASR_NIQE_PARAMS", ""),
-    "/root/reference/TrainTestGSASR/basicsr/metrics/niqe_pris_params.npz",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets",
+                 "niqe_pris_params.npz"),
 ]
 
 _GAM = np.arange(0.2, 10.001, 0.001)
