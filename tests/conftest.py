@@ -36,6 +36,60 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# Test tiering (markers declared in pytest.ini):
+#   core   — fast essential gate:   pytest -m core          (< 3 min)
+#   oracle — executes the mounted torch reference as a numeric oracle
+#   slow   — > ~8 s per test (full-size shapes, train loops, subprocesses)
+# Default CI tier: pytest -m "not slow"  (< 10 min). Everything: pytest.
+# Markers are assigned by module/name lists here so individual files stay
+# unannotated unless they need per-test overrides (@pytest.mark.*).
+# ---------------------------------------------------------------------------
+
+_ORACLE_MODULES = {
+    "test_aux_utils", "test_classic_archs", "test_convert_cli",
+    "test_diffjpeg", "test_legacy_ops", "test_matlab_resize",
+    "test_metrics_perceptual", "test_model_parity", "test_niqe",
+    "test_vgg_perceptual",
+}
+
+_SLOW_TESTS = {
+    # measured > ~8 s on a clean CPU run (see BENCH_NOTES r3)
+    "test_loss_decreases_on_fixed_batch",
+    "test_train_step_runs_and_updates",
+    "test_sparse_sample_coords_training",
+    "test_train_step_with_ssim_loss",
+    "test_windowed_backward_matches",
+    "test_windowed_backward_overflow_falls_back",
+    "test_banded_render_matches_single",
+    "test_banded_render_uneven_bands",
+    "test_windowed_forward_matches",
+    "test_gradients_match_composition",
+    "test_sr_forward_fused_matches",
+    "test_convert_cli_e2e_pixel_parity",
+    "test_convert_cli_infer_roundtrip",
+    "test_demo_server_e2e",
+    "test_dist_rendezvous_two_procs",
+}
+
+_CORE_MODULES = {
+    "test_rasterizer", "test_rendering", "test_attention", "test_data",
+    "test_trainer", "test_model", "test_tiling", "test_parallel",
+    "test_init",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        name = item.name.split("[")[0]
+        if mod in _ORACLE_MODULES:
+            item.add_marker(pytest.mark.oracle)
+        if name in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+        elif mod in _CORE_MODULES:
+            item.add_marker(pytest.mark.core)
+
 
 @pytest.fixture
 def rng():
