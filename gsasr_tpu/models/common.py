@@ -62,3 +62,22 @@ class MLP(nn.Module):
 def layer_norm(name: str, dtype=jnp.float32) -> nn.LayerNorm:
     """LayerNorm with torch-compatible eps (1e-5; flax default is 1e-6)."""
     return nn.LayerNorm(epsilon=1e-5, dtype=dtype, name=name)
+
+
+class DropPath(nn.Module):
+    """Stochastic depth (timm-style, reference `utils/swinir.py:96-122`):
+    at train time each sample's residual branch is dropped with
+    probability `rate` and survivors are scaled by 1/keep; identity at
+    eval. Parameter-free (checkpoint-topology neutral); consumes the
+    'droppath' rng stream when active."""
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))

@@ -102,10 +102,11 @@ class HAB(nn.Module):
     conv_scale: float
     mlp_ratio: float
     rope_theta: float
+    drop_path: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         # x: (B, H, W, C) NHWC
         b, h, w, c = x.shape
         ws = min(self.window_size, h, w)
@@ -130,13 +131,17 @@ class HAB(nn.Module):
         if shift > 0:
             xs = jnp.roll(xs, (shift, shift), axis=(1, 2))
 
-        x = shortcut + xs + conv_x * self.conv_scale
+        # DropPath gates the attention and MLP branches but NOT the CAB
+        # conv branch (`hatropeamp.py:461-462`).
+        dp = DropPath(self.drop_path, name="drop_path")
+        x = (shortcut + dp(xs, deterministic=not train)
+             + conv_x * self.conv_scale)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
-        return x + y
+        return x + dp(y, deterministic=not train)
 
 
 class OCAB(nn.Module):
@@ -216,10 +221,11 @@ class RHAG(nn.Module):
     overlap_ratio: float
     mlp_ratio: float
     rope_theta: float
+    drop_path: Tuple[float, ...] = ()
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         resi = x
         for i in range(self.depth):
             x = HAB(self.dim, self.num_heads, self.window_size,
@@ -227,8 +233,10 @@ class RHAG(nn.Module):
                     compress_ratio=self.compress_ratio,
                     squeeze_factor=self.squeeze_factor,
                     conv_scale=self.conv_scale, mlp_ratio=self.mlp_ratio,
-                    rope_theta=self.rope_theta, dtype=self.dtype,
-                    name=f"block_{i}")(x)
+                    rope_theta=self.rope_theta,
+                    drop_path=self.drop_path[i] if self.drop_path else 0.0,
+                    dtype=self.dtype,
+                    name=f"block_{i}")(x, train=train)
         x = OCAB(self.dim, self.window_size, self.overlap_ratio,
                  self.num_heads, self.mlp_ratio, self.rope_theta,
                  dtype=self.dtype, name="overlap_attn")(x)
@@ -250,21 +258,28 @@ class HATNOUP(nn.Module):
     mlp_ratio: float = 2.0
     num_feat: int = 64
     rope_theta: float = 10.0
+    drop_path_rate: float = 0.1
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         x = nn.Conv(self.embed_dim, (3, 3), padding=1, dtype=self.dtype,
                     name="conv_first")(x)
         resi = x
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                          name="patch_embed_norm")(x)
+        # stochastic depth decay rule (`hatropeamp.py:978`)
+        dpr = np.linspace(0, self.drop_path_rate,
+                          sum(self.depths)).tolist()
+        off = 0
         for i, depth in enumerate(self.depths):
             x = RHAG(self.embed_dim, depth, self.num_heads[i],
                      self.window_size, self.compress_ratio,
                      self.squeeze_factor, self.conv_scale,
                      self.overlap_ratio, self.mlp_ratio, self.rope_theta,
-                     dtype=self.dtype, name=f"layer_{i}")(x)
+                     drop_path=tuple(dpr[off:off + depth]),
+                     dtype=self.dtype, name=f"layer_{i}")(x, train=train)
+            off += depth
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = nn.Conv(self.embed_dim, (3, 3), padding=1, dtype=self.dtype,
                     name="conv_after_body")(x)

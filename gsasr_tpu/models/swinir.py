@@ -13,8 +13,10 @@ Swin details preserved exactly:
 - pre-norm residual blocks, GELU MLP with mlp_ratio 2;
 - patch_norm LayerNorm after flatten, final norm before unembed.
 
-DropPath (stochastic depth, rate 0.1 at train) is identity here — GSASR
-evaluates/infers deterministically; training support can thread an rng.
+DropPath (stochastic depth, linspace 0 -> drop_path_rate over all blocks,
+`swinir.py:877, 1088`; default 0.1) is active when called with train=True
+and an rng stream named 'droppath'; identity at eval, so inference parity
+with converted weights is unchanged.
 """
 
 from __future__ import annotations
@@ -26,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gsasr_tpu.models.common import DropPath
 from gsasr_tpu.models.fea2gs import self_attn_rel_pos_index
 
 
@@ -106,10 +109,11 @@ class SwinBlock(nn.Module):
     window_size: int
     shift_size: int
     mlp_ratio: float
+    drop_path: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         b, h, w, c = x.shape
         ws = min(self.window_size, h, w)
         shift = self.shift_size if ws == self.window_size else 0
@@ -129,14 +133,17 @@ class SwinBlock(nn.Module):
         x = window_reverse(xw, ws, h, w)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
-        x = shortcut + x
+        # Same DropPath instance gates both residual branches
+        # (`swinir.py:402-403`).
+        dp = DropPath(self.drop_path, name="drop_path")
+        x = shortcut + dp(x, deterministic=not train)
 
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
-        return x + y
+        return x + dp(y, deterministic=not train)
 
 
 class RSTB(nn.Module):
@@ -146,16 +153,19 @@ class RSTB(nn.Module):
     num_heads: int
     window_size: int
     mlp_ratio: float
+    drop_path: Tuple[float, ...] = ()
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         resi = x
         for i in range(self.depth):
+            dp = self.drop_path[i] if self.drop_path else 0.0
             x = SwinBlock(self.dim, self.num_heads, self.window_size,
                           shift_size=0 if i % 2 == 0 else self.window_size // 2,
-                          mlp_ratio=self.mlp_ratio, dtype=self.dtype,
-                          name=f"block_{i}")(x)
+                          mlp_ratio=self.mlp_ratio, drop_path=dp,
+                          dtype=self.dtype,
+                          name=f"block_{i}")(x, train=train)
         x = nn.Conv(self.dim, (3, 3), padding=1, dtype=self.dtype,
                     name="conv")(x)
         return x + resi
@@ -170,22 +180,32 @@ class SwinIRNOUP(nn.Module):
     mlp_ratio: float = 2.0
     num_feat: int = 64
     img_range: float = 1.0
+    drop_path_rate: float = 0.1
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         x = x * self.img_range
         x = nn.Conv(self.embed_dim, (3, 3), padding=1, dtype=self.dtype,
                     name="conv_first")(x)
         resi = x
 
+        # stochastic depth decay rule: linspace over all blocks
+        # (`swinir.py:877, 1088`)
+        dpr = np.linspace(0, self.drop_path_rate,
+                          sum(self.depths)).tolist()
+
         # patch_embed norm (patch_norm=True)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                          name="patch_embed_norm")(x)
+        off = 0
         for i, depth in enumerate(self.depths):
             x = RSTB(self.embed_dim, depth, self.num_heads[i],
-                     self.window_size, self.mlp_ratio, dtype=self.dtype,
-                     name=f"layer_{i}")(x)
+                     self.window_size, self.mlp_ratio,
+                     drop_path=tuple(dpr[off:off + depth]),
+                     dtype=self.dtype,
+                     name=f"layer_{i}")(x, train=train)
+            off += depth
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
         x = nn.Conv(self.embed_dim, (3, 3), padding=1, dtype=self.dtype,
