@@ -7,7 +7,12 @@ Usage:
       [--tile_size 480 --tile_overlap 8 --crop_size 4] [--save_sr out/]
 
 Protocol: PSNR/SSIM on the Y channel, crop_border = scale if <= 8 else 8
-(`README.md:349-355`).
+(`README.md:349-355`). LPIPS/DISTS hooks follow the reference protocol
+table (`inference_paper_benchmark.py:127-156`, `basicsr/metrics/lpips.py`):
+pass --lpips_weights / --dists_weights (official .pth files, user-supplied
+in this zero-egress image) to enable them; absent weights -> metric
+skipped. Peak device memory is reported when the runtime exposes it
+(`jax.local_devices()[0].memory_stats()`).
 """
 
 from __future__ import annotations
@@ -44,6 +49,12 @@ def main():
     p.add_argument("--crop_size", type=int, default=4)
     p.add_argument("--save_sr", default=None)
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--lpips_weights", default=None,
+                   help="official LPIPS (alex) weights .pth; enables LPIPS")
+    p.add_argument("--lpips_net", default="alex",
+                   choices=["alex", "vgg"])
+    p.add_argument("--dists_weights", default=None,
+                   help="official DISTS weights.pt (+VGG16); enables DISTS")
     args = p.parse_args()
 
     import cv2
@@ -81,7 +92,32 @@ def main():
     n = len(ds) if not args.limit else min(args.limit, len(ds))
     crop = crop_border_for_scale(args.scale)
 
-    psnrs, ssims, times = [], [], []
+    # Perceptual metric hooks (skip-if-absent weights; zero-egress image
+    # cannot bundle torchvision/LPIPS checkpoints).
+    lpips_params = dists_params = None
+    if args.lpips_weights:
+        import torch
+
+        from gsasr_tpu.metrics_perceptual import (calculate_lpips,
+                                                  convert_lpips)
+        sd = torch.load(args.lpips_weights, map_location="cpu",
+                        weights_only=True)
+        lpips_params = convert_lpips(sd, net=args.lpips_net)
+    if args.dists_weights:
+        import torch
+
+        from gsasr_tpu.metrics_perceptual import (calculate_dists,
+                                                  convert_dists)
+        sd = torch.load(args.dists_weights, map_location="cpu",
+                        weights_only=True)
+        dists_params = convert_dists(sd)
+        if not dists_params.get("net"):
+            raise SystemExit(
+                "--dists_weights must contain the VGG16 backbone convs as "
+                "well as alpha/beta (merge torchvision vgg16 features into "
+                "the DISTS weights.pt state dict)")
+
+    psnrs, ssims, times, lpipss, distss = [], [], [], [], []
     for i in range(n):
         item = ds[i]
         lq = jnp.asarray(item["lq"])[None]
@@ -109,9 +145,21 @@ def main():
                                     channel_order="rgb"))
         ssims.append(calculate_ssim(sr255, gt255, crop, test_y_channel=True,
                                     channel_order="rgb"))
+        extra = ""
+        if lpips_params is not None:
+            # calculate_lpips expects BGR-ordered inputs (reference
+            # `lpips.py:11-63` reads images via cv2).
+            lpipss.append(calculate_lpips(
+                sr255[..., ::-1], gt255[..., ::-1], crop, lpips_params,
+                net=args.lpips_net))
+            extra += f" lpips {lpipss[-1]:.4f}"
+        if dists_params is not None:
+            distss.append(calculate_dists(
+                sr255[..., ::-1], gt255[..., ::-1], crop, dists_params))
+            extra += f" dists {distss[-1]:.4f}"
         print(f"[{i+1}/{n}] {os.path.basename(item['gt_path'])} "
               f"psnr {psnrs[-1]:.3f} ssim {ssims[-1]:.4f} "
-              f"{times[-1]*1e3:.0f} ms", flush=True)
+              f"{times[-1]*1e3:.0f} ms{extra}", flush=True)
 
         if args.save_sr:
             os.makedirs(args.save_sr, exist_ok=True)
@@ -123,8 +171,19 @@ def main():
     # protocol: discard the first 2 timings (inference_paper_benchmark:169)
     avg_t = float(np.mean(times[2:])) if len(times) > 2 else float(
         np.mean(times))
-    print(f"AVG psnr {np.mean(psnrs):.4f} ssim {np.mean(ssims):.5f} "
-          f"time {avg_t*1e3:.1f} ms over {n} images")
+    summary = (f"AVG psnr {np.mean(psnrs):.4f} ssim {np.mean(ssims):.5f} "
+               f"time {avg_t*1e3:.1f} ms over {n} images")
+    if lpipss:
+        summary += f" lpips {np.mean(lpipss):.4f}"
+    if distss:
+        summary += f" dists {np.mean(distss):.4f}"
+    # peak device memory (reference protocol reports max_memory_allocated,
+    # `inference_paper_benchmark.py:127-156`); not all runtimes expose it.
+    stats = jax.local_devices()[0].memory_stats() or {}
+    peak = stats.get("peak_bytes_in_use")
+    summary += (f" peak_mem {peak / 2**20:.0f} MiB" if peak
+                else " peak_mem n/a")
+    print(summary)
 
 
 if __name__ == "__main__":
