@@ -150,7 +150,16 @@ fused_window_attention.defvjp(_fwa_fwd, _fwa_bwd)
 
 def window_attention(q, k, v, bias: Optional[jax.Array] = None,
                      *, scale: Optional[float] = None) -> jax.Array:
-    """Public entry: fused on TPU, interpreter elsewhere (same kernel)."""
+    """Public entry: fused on TPU, interpreter elsewhere (same kernel).
+
+    Set GSASR_ATTN=reference to route through the plain einsum composition
+    (used by the per-stage profiling harness to A/B the kernel; read at
+    trace time, so set it before the first jit of a model).
+    """
+    import os
+
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if os.environ.get("GSASR_ATTN", "fused") == "reference":
+        return _attention_reference(q, k, v, bias, float(scale))
     return fused_window_attention(q, k, v, bias, float(scale))

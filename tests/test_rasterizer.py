@@ -357,3 +357,75 @@ def test_windowed_backward_bitwise_vs_dense(rng):
                              tw=128, gc=gc_bwd, window=24)
     for a, b in zip(dense, win):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# Principled float64 gradient oracle (VERDICT r2 ask #9)
+# ---------------------------------------------------------------------------
+
+
+def _render_f64(sigmas, coords, colors, size, dmax):
+    """Dense float64 renderer (numpy): the exact kernel math of
+    `gs_cuda_dmax/gs.cu:27-60` at double precision — the truth value the
+    f32 kernels approximate."""
+    h, w = size
+    ys = 2.0 * np.arange(h, dtype=np.float64) / (h - 1) - 1.0
+    xs = 2.0 * np.arange(w, dtype=np.float64) / (w - 1) - 1.0
+    # (h, w, S) deltas
+    dy = ys[:, None, None] - coords[None, None, :, 1]
+    dx = xs[None, :, None] - coords[None, None, :, 0]
+    sx = sigmas[:, 0]
+    sy = sigmas[:, 1]
+    rho = sigmas[:, 2]
+    q = (dx ** 2 / sx ** 2 - 2 * rho * dx * dy / (sx * sy)
+         + dy ** 2 / sy ** 2)
+    v = np.exp(-q / (2.0 * (1.0 - rho ** 2)))
+    v = v * ((np.abs(dx) <= dmax) & (np.abs(dy) <= dmax))
+    return v @ colors  # (h, w, 3)
+
+
+def test_backward_float64_numerical_oracle(rng):
+    """True-error gate: f32 kernel gradients vs float64 central
+    differences of the dense formula. Would fail on a real math bug at
+    2e-4; the 1e-3 gates elsewhere only absorb f32 reduction-order noise
+    at S=600 scale. Wide-sigma regime (the near-cancelling coord-grad
+    case of `check.py:68-122`)."""
+    s, size, dmax = 24, (14, 18), 100.0
+    sigmas64 = 0.999 * rng.random((s, 3))
+    sigmas64[:, :2] = 5 * sigmas64[:, :2] + 0.5   # wide sigmas
+    coords64 = 2 * rng.random((s, 2)) - 1.0
+    colors64 = rng.random((s, 3))
+    weight64 = rng.random((size[0], size[1], 3))
+    weight = jnp.asarray(weight64, jnp.float32)
+
+    def loss64(sg, co, cl):
+        return float(np.sum(weight64 * _render_f64(sg, co, cl, size, dmax)))
+
+    # float64 central differences (truncation error ~eps^2 ~ 1e-10 at
+    # eps=1e-5 on these smooth exponentials)
+    eps = 1e-5
+    grads64 = []
+    for arr in (sigmas64, coords64, colors64):
+        g = np.zeros_like(arr)
+        for i in np.ndindex(arr.shape):
+            old = arr[i]
+            arr[i] = old + eps
+            up = loss64(sigmas64, coords64, colors64)
+            arr[i] = old - eps
+            dn = loss64(sigmas64, coords64, colors64)
+            arr[i] = old
+            g[i] = (up - dn) / (2 * eps)
+        grads64.append(g)
+
+    def loss32(sg, co, cl):
+        return jnp.sum(weight * gs_render(sg, co, cl, size, dmax))
+
+    g32 = jax.grad(loss32, argnums=(0, 1, 2))(
+        jnp.asarray(sigmas64, jnp.float32),
+        jnp.asarray(coords64, jnp.float32),
+        jnp.asarray(colors64, jnp.float32))
+
+    for a, b, name in zip(g32, grads64, ["sigmas", "coords", "colors"]):
+        scale = max(1.0, float(np.abs(b).max()))
+        err = np.abs(np.asarray(a, np.float64) - b).max() / scale
+        assert err < 1e-4, f"{name}: true rel-to-max error {err:.2e}"
