@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gsasr_tpu.models.common import DropPath
 from gsasr_tpu.models.fea2gs_rope import (apply_rope, rope_freqs_init,
                                           rope_phases, rope_t_xy, _sdpa,
                                           _split_heads, _merge_heads)

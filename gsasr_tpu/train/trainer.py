@@ -130,9 +130,15 @@ class Trainer:
 
     # -- one training step --------------------------------------------------
 
-    def _loss_fn(self, params, batch):
+    def _loss_fn(self, params, batch, rng):
         cfg = self.cfg
-        feat = self.enc.apply({"params": params["g"]}, batch["lq"])
+        if getattr(self.enc, "drop_path_rate", 0.0) > 0.0:
+            # SwinIR/HAT train with stochastic depth (reference
+            # `swinir.py:816, 877`); EDSR/RDN have no droppath arg.
+            feat = self.enc.apply({"params": params["g"]}, batch["lq"],
+                                  True, rngs={"droppath": rng})
+        else:
+            feat = self.enc.apply({"params": params["g"]}, batch["lq"])
         gs = self.dec.apply({"params": params["d"]}, feat, batch["scale"])
         out = render_training_batch(
             gs, batch["scale"], batch["gt_h"], batch["gt_w"], cfg.canvas_hw,
@@ -183,8 +189,10 @@ class Trainer:
     def _step_impl(self, state: TrainState, batch):
         cfg = self.cfg
         params = {"g": state.params_g, "d": state.params_d}
+        # per-step droppath stream, deterministic in the step counter
+        rng = jax.random.fold_in(jax.random.PRNGKey(17), state.step)
         (loss, metrics), grads = jax.value_and_grad(
-            self._loss_fn, has_aux=True)(params, batch)
+            self._loss_fn, has_aux=True)(params, batch, rng)
 
         if cfg.clip_grad_norm is not None:
             # Reference clips each network separately
