@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gsasr_tpu.models.common import MLP, pixel_shuffle
-from gsasr_tpu.ops.attention import window_attention
+from gsasr_tpu.ops.attention import window_attention_packed
 
 
 # ---------------------------------------------------------------------------
@@ -136,13 +136,12 @@ class WindowCrossAttn(nn.Module):
         k = nn.Dense(c, dtype=self.dtype, name="khead")(feat)
         v = nn.Dense(c, dtype=self.dtype, name="vhead")(feat)
 
-        q = q.reshape(b_, num_gs, nh, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(b_, n, nh, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(b_, n, nh, hd).transpose(0, 2, 1, 3)
-
+        # packed (B_, T, C) layout — heads split inside the kernel; no
+        # (B, nh, T, hd) transpose copies (measured 32 ms/fwd of the
+        # decoder stage at the 180^2 bench, BENCH_NOTES r3).
         bias = bias_table[idx.reshape(-1)].reshape(num_gs, n, nh)
-        out = window_attention(q, k, v, bias.transpose(2, 0, 1))
-        out = out.transpose(0, 2, 1, 3).reshape(b_, num_gs, c)
+        out = window_attention_packed(q, k, v, bias.transpose(2, 0, 1),
+                                      num_heads=nh, scale=hd ** -0.5)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
@@ -170,13 +169,10 @@ class GSSelfAttn(nn.Module):
         q = nn.Dense(c, dtype=self.dtype, name="qhead")(gs)
         k = nn.Dense(c, dtype=self.dtype, name="khead")(gs)
         v = nn.Dense(c, dtype=self.dtype, name="vhead")(gs)
-        q = q.reshape(b_, num_gs, nh, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(b_, num_gs, nh, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(b_, num_gs, nh, hd).transpose(0, 2, 1, 3)
 
         bias = bias_table[idx.reshape(-1)].reshape(num_gs, num_gs, nh)
-        out = window_attention(q, k, v, bias.transpose(2, 0, 1))
-        out = out.transpose(0, 2, 1, 3).reshape(b_, num_gs, c)
+        out = window_attention_packed(q, k, v, bias.transpose(2, 0, 1),
+                                      num_heads=nh, scale=hd ** -0.5)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 

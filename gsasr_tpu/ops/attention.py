@@ -163,3 +163,136 @@ def window_attention(q, k, v, bias: Optional[jax.Array] = None,
     if os.environ.get("GSASR_ATTN", "fused") == "reference":
         return _attention_reference(q, k, v, bias, float(scale))
     return fused_window_attention(q, k, v, bias, float(scale))
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout variant: (B, T, C) in/out, heads split inside the kernel
+# ---------------------------------------------------------------------------
+#
+# Motivation (measured, BENCH_NOTES r3): at the 180^2 benchmark the decoder
+# spends ~32 ms/fwd in XLA layout copies, a large share of which are the
+# (B, T, nh, hd) <-> (B, nh, T, hd) transposes around every attention call
+# (36 self-attn layers x q/k/v/out). Taking the projections' natural
+# (B, T, C) layout straight into the kernel and slicing heads on the lane
+# axis (static 30-column slices, in-VMEM relayout) removes those HBM
+# round-trips entirely.
+
+
+def _attn_kernel_packed(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
+                        scale: float, num_heads: int):
+    # q_ref/o_ref: (WB, Tq, C); k_ref/v_ref: (WB, Tk, C);
+    # bias_ref: (nh, Tq, Tk) f32 (whole table resident in VMEM).
+    wb, tq, c = q_ref.shape
+    hd = c // num_heads
+    for w in range(wb):
+        q = q_ref[w]
+        k = k_ref[w]
+        v = v_ref[w]
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            s = jax.lax.dot_general(
+                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s * scale + bias_ref[h]
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[w, :, sl] = o.astype(o_ref.dtype)
+
+
+def _attention_packed_pallas(q, k, v, bias, scale, num_heads):
+    b, tq, c = q.shape
+    tk = k.shape[1]
+    if bias is None:
+        bias = jnp.zeros((num_heads, tq, tk), jnp.float32)
+    bias = bias.astype(jnp.float32)
+
+    wb = _pick_block_b(b, target=8)
+    grid = (b // wb,)
+    qspec = pl.BlockSpec((wb, tq, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((wb, tk, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((num_heads, tq, tk), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    hd = c // num_heads
+    flops_step = 2 * tq * tk * hd * 2 * wb * num_heads
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_packed, scale=scale,
+                          num_heads=num_heads),
+        grid=grid,
+        in_specs=[qspec, kspec, kspec, bspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_step * (b // wb),
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * num_heads * tq * tk),
+        interpret=_interpret(),
+    )(q, k, v, bias)
+
+
+def _attention_packed_reference(q, k, v, bias, scale, num_heads):
+    """BTNH einsum composition (no explicit transposes) — backward path
+    and numeric oracle for the packed kernel."""
+    b, tq, c = q.shape
+    tk = k.shape[1]
+    hd = c // num_heads
+    qh = q.reshape(b, tq, num_heads, hd)
+    kh = k.reshape(b, tk, num_heads, hd)
+    vh = v.reshape(b, tk, num_heads, hd)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * scale
+    if bias is not None:
+        s = s + bias[None].astype(s.dtype)
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(v.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, vh)
+    return o.reshape(b, tq, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _packed_window_attention(q, k, v, bias, scale: float, num_heads: int):
+    return _attention_packed_pallas(q, k, v, bias, scale, num_heads)
+
+
+def _pwa_fwd(q, k, v, bias, scale, num_heads):
+    return (_attention_packed_pallas(q, k, v, bias, scale, num_heads),
+            (q, k, v, bias))
+
+
+def _pwa_bwd(scale, num_heads, res, g):
+    q, k, v, bias = res
+    if bias is None:
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _attention_packed_reference(
+                q_, k_, v_, None, scale, num_heads), q, k, v)
+        return (*vjp(g), None)
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, b_: _attention_packed_reference(
+            q_, k_, v_, b_, scale, num_heads), q, k, v, bias)
+    return vjp(g)
+
+
+_packed_window_attention.defvjp(_pwa_fwd, _pwa_bwd)
+
+
+def window_attention_packed(q, k, v, bias: Optional[jax.Array] = None,
+                            *, num_heads: int,
+                            scale: Optional[float] = None) -> jax.Array:
+    """Multi-head window attention on packed (B, T, C) operands.
+
+    q: (B, Tq, C); k, v: (B, Tk, C); bias: (nh, Tq, Tk) or None. Heads are
+    C split into `num_heads` contiguous slices (torch MultiheadAttention
+    packing). Returns (B, Tq, C) in q's dtype — no (B, nh, T, hd)
+    intermediate ever hits HBM.
+    """
+    import os
+
+    if scale is None:
+        scale = (q.shape[-1] // num_heads) ** -0.5
+    if os.environ.get("GSASR_ATTN", "fused") == "reference":
+        return _attention_packed_reference(q, k, v, bias, float(scale),
+                                           num_heads)
+    return _packed_window_attention(q, k, v, bias, float(scale), num_heads)

@@ -47,7 +47,7 @@ def main():
     print("trace files:", files)
     if not files:
         return
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     xs = xplane_pb2.XSpace()
     xs.ParseFromString(open(files[-1], "rb").read())
