@@ -4,20 +4,32 @@ Protocol mirrors the reference's compute-cost measurement
 (`/root/reference/inference_paper_benchmark.py:127-172`, README.md:343-344):
 full-size LR of a 720^2-GT DIV2K crop (180x180 LR at x4), no tiling; the
 timed region covers encoder + decoder + rendering; warmup iterations
-discarded. EDSR-paper config, dmax=0.1, fp32.
+discarded. EDSR-paper config, dmax=0.1, fp32 params (TPU matmuls run at
+JAX default precision = bf16 multiply / fp32 accumulate, the TPU analog of
+the A100's TF32 conv path the reference rides).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line with the driver fields (metric/value/unit/
+vs_baseline) plus the anchoring fields of the reference protocol
+(`inference_paper_benchmark.py:127-156`):
+  hr_pixels_per_s   — 720^2 / wall-time
+  peak_mem_bytes    — runtime memory_stats when exposed, else the
+                      compiled executables' memory analysis (argument +
+                      temp + output allocation of the largest stage)
+  roofline_frac     — achieved matmul FLOP/s over the chip's bf16 peak
+                      (device-kind table; null when the kind is unknown)
+  weights           — 'init' or 'trained' (set GSASR_BENCH_CKPT to an
+                      orbax step dir to bench trained weights)
+  baseline          — 'estimate': vs_baseline divides a 250 ms A100
+                      estimate for this workload (the repo ships no
+                      measured A100 number; the paper's compute figure
+                      reads ~0.2-0.3 s)
 
-vs_baseline: ratio of the reference's A100 wall time to ours for the same
-workload. The repo ships no absolute A100 number for this exact protocol
-(README points to a paper figure); we use 250 ms as the baseline estimate —
-the EDSR-GSASR paper-version 720^2 total reported in the paper's compute
-figure is ~0.2-0.3 s on A100. Until a measured number is available this is
-an estimate, stated here explicitly.
+Per-stage breakdowns live in scripts/profile_stages.py; BENCH_NOTES.md
+carries the history.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -26,27 +38,58 @@ import numpy as np
 
 BASELINE_MS = 250.0  # estimated A100 reference total (see module docstring)
 
+# bf16 MXU peak FLOP/s per chip by device kind (public spec sheets).
+PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5e": 197e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v5": 459e12,
+    "TPU v6e": 918e12,
+    "TPU v6 lite": 918e12,
+    "TPU7x": 2307e12,
+}
+
 
 def main():
     from gsasr_tpu.utils.env import enable_compilation_cache
     enable_compilation_cache()
-    from gsasr_tpu.model import make_models, sr_forward
+    from gsasr_tpu.model import _jitted_apply, make_models
+    from gsasr_tpu.rendering import render_gaussians
 
     enc, dec = make_models("edsr")
     rng = jax.random.PRNGKey(0)
     lr_size = 180
     scale = 4.0
+    sr = (720, 720)
     lq = jnp.asarray(np.random.default_rng(0).random(
         (1, lr_size, lr_size, 3), dtype=np.float32))
-    enc_params = enc.init(rng, jnp.zeros((1, 12, 12, 3)))["params"]
-    dec_params = dec.init(rng, jnp.zeros((1, 12, 12, 64)),
-                          jnp.ones((1,)))["params"]
+
+    ckpt = os.environ.get("GSASR_BENCH_CKPT")
+    if ckpt and os.path.isdir(ckpt):
+        from gsasr_tpu.utils.checkpoint import load_eval_params
+        enc_params, dec_params = load_eval_params(ckpt)
+        enc_params = jax.device_put(enc_params)
+        dec_params = jax.device_put(dec_params)
+        weights = "trained"
+    else:
+        enc_params = enc.init(rng, jnp.zeros((1, 12, 12, 3)))["params"]
+        dec_params = dec.init(rng, jnp.zeros((1, 12, 12, 64)),
+                              jnp.ones((1,)))["params"]
+        weights = "init"
+
+    enc_fn = _jitted_apply(enc)
+    dec_fn = _jitted_apply(dec)
 
     def forward(enc_params, dec_params, lq):
-        # stage-jitted pipeline (encoder / decoder / renderer) — see
-        # gsasr_tpu/model.py:sr_forward
-        return sr_forward(enc, dec, enc_params, dec_params, lq, scale,
-                          dmax=0.1)
+        feat = enc_fn(enc_params, lq)
+        gs = dec_fn(dec_params, feat, jnp.ones((1,), jnp.float32) * scale)
+        return render_one(gs[0])
+
+    @jax.jit
+    def render_one(g):
+        return render_gaussians(sr, g, jnp.float32(scale),
+                                dmax_mode="fix", dmax=0.1)
 
     csum = jax.jit(jnp.sum)
     out = forward(enc_params, dec_params, lq)
@@ -61,13 +104,47 @@ def main():
         times.append(time.perf_counter() - t0)
     times = times[2:]  # discard first 2 (inference_paper_benchmark.py:169)
     dt = float(np.median(times))
-
     ms = dt * 1e3
+
+    # -- anchoring fields ---------------------------------------------------
+    dev = jax.local_devices()[0]
+    stats = dev.memory_stats() or {}
+    peak_mem = stats.get("peak_bytes_in_use")
+    flops = 0.0
+    mem_est = 0
+    try:
+        feat = enc_fn(enc_params, lq)
+        for tr in (enc_fn.lower(enc_params, lq),
+                   dec_fn.lower(dec_params, feat,
+                                jnp.ones((1,), jnp.float32)),
+                   ):
+            comp = tr.compile()
+            ca = comp.cost_analysis() or {}
+            flops += float(ca.get("flops", 0.0))
+            ma = comp.memory_analysis()
+            if ma is not None:
+                mem_est = max(mem_est, ma.argument_size_in_bytes
+                              + ma.temp_size_in_bytes
+                              + ma.output_size_in_bytes)
+    except Exception:
+        pass
+    if peak_mem is None and mem_est:
+        peak_mem = mem_est
+    kind = getattr(dev, "device_kind", "")
+    peak = next((v for k, v in PEAK_BF16.items() if k in str(kind)), None)
+    roofline = (flops / dt / peak) if (peak and flops) else None
+
     print(json.dumps({
         "metric": "edsr_gsasr_x4_720sq_e2e_inference",
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / ms, 3),
+        "hr_pixels_per_s": round(sr[0] * sr[1] / dt),
+        "peak_mem_bytes": peak_mem,
+        "roofline_frac": round(roofline, 4) if roofline else None,
+        "device_kind": str(kind),
+        "weights": weights,
+        "baseline": "estimate",
     }))
 
 
