@@ -4,9 +4,18 @@ The decoder is a stack of 38 window-attention layers (cross + self,
 `/root/reference/utils/fea2gs.py:116-194,284-350`); its hot loop is
 ``softmax(q @ k^T * scale + bias) @ v`` over thousands of small static
 windows (e.g. 225 windows x 6 heads x 144 tokens x 30 head-dim at the
-180^2 -> 720^2 benchmark). XLA materializes the (B, nh, Tq, Tk) logits
-tensor in HBM for every layer (~112 MB each way at the benchmark shape);
-with 38 layers that round-trip dominates the decoder stage.
+180^2 -> 720^2 benchmark).
+
+Measured reality (BENCH_NOTES "Round 3"): XLA's einsum composition was
+*not* HBM-materialization-bound at these window sizes — the fused kernel
+alone moved the decoder stage ~0% (131.5 vs 129.3 ms A/B). The op-level
+trace showed the stage is dominated by *layout copies* (the
+(B, T, nh, hd) <-> (B, nh, T, hd) head transposes around every attention
+call, ~32 ms/fwd) and elementwise fusion chains, with the actual matmuls
+at only ~13 ms. The packed-layout variant below
+(`window_attention_packed`) is the response: it takes the projections'
+natural (B, T, C) layout and splits heads inside the kernel, removing
+the transpose copies from the HLO entirely.
 
 This kernel keeps a whole window's attention in VMEM: one grid step loads
 a block of windows for one head, computes logits + bias, takes a float32
@@ -53,6 +62,26 @@ def _pick_block_b(n: int, target: int = 16) -> int:
     return 1
 
 
+def _block_b_with_pad(n: int, target: int) -> tuple[int, int]:
+    """Window-axis blocking with a pad fallback: prefer an exact divisor
+    <= target, but if the only divisor is 1 (prime n, e.g. an odd
+    batch x window-count mix) pad the axis up to a multiple of `target`
+    rather than degenerating to a (nh x n) grid of single-window steps.
+    Returns (block, padded_n)."""
+    wb = _pick_block_b(n, target)
+    if wb == 1 and n > target:
+        return target, ((n + target - 1) // target) * target
+    return wb, n
+
+
+def _pad_axis0(x, n_pad: int):
+    if x.shape[0] == n_pad:
+        return x
+    pad = n_pad - x.shape[0]
+    return jnp.concatenate(
+        [x, jnp.zeros((pad, *x.shape[1:]), x.dtype)], axis=0)
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
     # q_ref: (WB, 1, Tq, hd); k_ref/v_ref: (WB, 1, Tk, hd);
     # bias_ref: (1, Tq, Tk) f32; o_ref: (WB, 1, Tq, hd).
@@ -92,8 +121,9 @@ def _attention_pallas(q, k, v, bias, scale):
         bias = jnp.zeros((nh, tq, tk), jnp.float32)
     bias = bias.astype(jnp.float32)
 
-    wb = _pick_block_b(b)
-    grid = (nh, b // wb)
+    wb, bp = _block_b_with_pad(b, 16)
+    q, k, v = (_pad_axis0(x, bp) for x in (q, k, v))
+    grid = (nh, bp // wb)
     qspec = pl.BlockSpec((wb, 1, tq, hd), lambda h, i: (i, h, 0, 0),
                          memory_space=pltpu.VMEM)
     kspec = pl.BlockSpec((wb, 1, tk, hd), lambda h, i: (i, h, 0, 0),
@@ -103,18 +133,19 @@ def _attention_pallas(q, k, v, bias, scale):
     bspec = pl.BlockSpec((1, tq, tk), lambda h, i: (h, 0, 0),
                          memory_space=pltpu.VMEM)
     flops_step = 2 * tq * tk * hd * 2 * wb
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
         grid=grid,
         in_specs=[qspec, kspec, vspec, bspec],
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=flops_step * nh * (b // wb),
+            flops=flops_step * nh * (bp // wb),
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
-            transcendentals=b * nh * tq * tk),
+            transcendentals=bp * nh * tq * tk),
         interpret=_interpret(),
     )(q, k, v, bias)
+    return out[:b] if bp != b else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -210,8 +241,9 @@ def _attention_packed_pallas(q, k, v, bias, scale, num_heads):
         bias = jnp.zeros((num_heads, tq, tk), jnp.float32)
     bias = bias.astype(jnp.float32)
 
-    wb = _pick_block_b(b, target=8)
-    grid = (b // wb,)
+    wb, bp = _block_b_with_pad(b, 8)
+    q, k, v = (_pad_axis0(x, bp) for x in (q, k, v))
+    grid = (bp // wb,)
     qspec = pl.BlockSpec((wb, tq, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     kspec = pl.BlockSpec((wb, tk, c), lambda i: (i, 0, 0),
@@ -220,7 +252,7 @@ def _attention_packed_pallas(q, k, v, bias, scale, num_heads):
                          memory_space=pltpu.VMEM)
     hd = c // num_heads
     flops_step = 2 * tq * tk * hd * 2 * wb * num_heads
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_attn_kernel_packed, scale=scale,
                           num_heads=num_heads),
         grid=grid,
@@ -228,11 +260,12 @@ def _attention_packed_pallas(q, k, v, bias, scale, num_heads):
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=flops_step * (b // wb),
+            flops=flops_step * (bp // wb),
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
-            transcendentals=b * num_heads * tq * tk),
+            transcendentals=bp * num_heads * tq * tk),
         interpret=_interpret(),
     )(q, k, v, bias)
+    return out[:b] if bp != b else out
 
 
 def _attention_packed_reference(q, k, v, bias, scale, num_heads):

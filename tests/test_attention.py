@@ -78,6 +78,44 @@ def test_pick_block_b():
     assert _pick_block_b(13) == 13
 
 
+def test_block_b_with_pad_prime():
+    from gsasr_tpu.ops.attention import _block_b_with_pad
+    # composite counts: exact divisor, no padding
+    assert _block_b_with_pad(225, 16) == (15, 225)
+    assert _block_b_with_pad(7, 8) == (7, 7)
+    # prime counts above the target: pad rather than a block-1 grid
+    assert _block_b_with_pad(97, 8) == (8, 104)
+    assert _block_b_with_pad(227, 16) == (16, 240)
+
+
+@pytest.mark.parametrize("b", [97, 227])
+def test_forward_parity_prime_windows(b):
+    """Prime window counts take the pad-fallback path (VERDICT r2 weak #6):
+    the kernel must still match the composition exactly on the real rows."""
+    nh, tq, tk, hd = 2, 12, 12, 8
+    q, k, v = (_rand((b, nh, t, hd), i)
+               for i, t in enumerate((tq, tk, tk)))
+    bias = _rand((nh, tq, tk), 3)
+    out = window_attention(q, k, v, bias)
+    ref = _attention_reference(q, k, v, bias, hd ** -0.5)
+    assert out.shape == (b, nh, tq, hd)
+    np.testing.assert_allclose(out, ref, atol=2e-6)
+
+
+def test_packed_forward_parity_prime_windows():
+    from gsasr_tpu.ops.attention import (window_attention_packed,
+                                         _attention_packed_reference)
+    b, t, nh, hd = 11, 16, 4, 8
+    c = nh * hd
+    q, k, v = (_rand((b, t, c), i) for i in range(3))
+    bias = _rand((nh, t, t), 3)
+    out = window_attention_packed(q, k, v, bias, num_heads=nh)
+    ref = _attention_packed_reference(q, k, v, bias, hd ** -0.5, nh)
+    assert out.shape == (b, t, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_packed_forward_parity(rng):
     import jax.numpy as jnp
     from gsasr_tpu.ops.attention import (window_attention_packed,
