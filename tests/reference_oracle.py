@@ -18,6 +18,16 @@ def reference_available() -> bool:
     return REFERENCE.exists()
 
 
+def _rgb_to_grayscale(img, num_output_channels=1):
+    # BT.601 luma, the torchvision functional_tensor semantics
+    # (used by the reference's degradations.py:8 for gray poisson noise).
+    r, g, b = img.unbind(dim=-3)
+    out = (0.299 * r + 0.587 * g + 0.114 * b).unsqueeze(dim=-3)
+    if num_output_channels == 3:
+        out = out.expand(img.shape)
+    return out
+
+
 def _stub_torchvision():
     if "torchvision" in sys.modules:
         return
@@ -26,8 +36,15 @@ def _stub_torchvision():
     tv_utils.save_image = lambda *a, **k: None
     tv_utils.make_grid = lambda *a, **k: None
     tv.utils = tv_utils
+    tv_tr = types.ModuleType("torchvision.transforms")
+    tv_ft = types.ModuleType("torchvision.transforms.functional_tensor")
+    tv_ft.rgb_to_grayscale = _rgb_to_grayscale
+    tv_tr.functional_tensor = tv_ft
+    tv.transforms = tv_tr
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.utils"] = tv_utils
+    sys.modules["torchvision.transforms"] = tv_tr
+    sys.modules["torchvision.transforms.functional_tensor"] = tv_ft
 
 
 def import_reference_module(name: str):
