@@ -58,16 +58,12 @@ class PaperWindowAttention(nn.Module):
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q * (hd ** -0.5), k)
         bias = bias_table[idx.reshape(-1)].reshape(n, n, nh)
-        attn = attn + bias.transpose(2, 0, 1)[None]
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(b_ // nw, nw, nh, n, n) + mask[None, :, None]
-            attn = attn.reshape(b_, nh, n, n)
-        attn = jax.nn.softmax(attn.astype(jnp.float32),
-                           axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        # shared fused window kernel; shifted blocks pass the 9-region
+        # mask as the per-window-class window_mask.
+        from gsasr_tpu.ops.attention import window_attention
+        out = window_attention(q, k, v, bias.transpose(2, 0, 1),
+                               window_mask=mask)
         out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
@@ -169,12 +165,11 @@ class PaperOCAB(nn.Module):
         qh = heads(q_w, ws * ws)
         kh = heads(k_w, ows * ows)
         vh = heads(v_w, ows * ows)
-        attn = jnp.einsum("bhqd,bhkd->bhqk", qh * (hd ** -0.5), kh)
         bias = bias_table[idx.reshape(-1)].reshape(ws * ws, ows * ows, nh)
-        attn = attn + bias.transpose(2, 0, 1)[None]
-        attn = jax.nn.softmax(attn.astype(jnp.float32),
-                           axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
+        # rectangular (Tq=ws^2, Tk=ows^2) cross-window attention on the
+        # shared fused kernel.
+        from gsasr_tpu.ops.attention import window_attention
+        out = window_attention(qh, kh, vh, bias.transpose(2, 0, 1))
         out = out.transpose(0, 2, 1, 3).reshape(-1, ws * ws, c)
         out = window_reverse(out, ws, h, w)
         x = nn.Dense(c, dtype=self.dtype, name="proj")(out) + shortcut

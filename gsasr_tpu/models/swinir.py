@@ -89,25 +89,12 @@ class WindowAttention(nn.Module):
         q, k, v = qkv[0], qkv[1], qkv[2]
         bias = bias_table[idx.reshape(-1)].reshape(n, n, nh)
 
-        if mask is None:
-            # W-MSA: per-head bias broadcast over windows — the fused
-            # window kernel's shape (shared with the Fea2GS decoder).
-            from gsasr_tpu.ops.attention import window_attention
-            out = window_attention(q, k, v, bias.transpose(2, 0, 1))
-        else:
-            # SW-MSA: the 9-region mask differs per window class, which
-            # the (nh, Tq, Tk) kernel bias cannot express; measured on
-            # hardware the fused kernel is within noise of this einsum
-            # composition anyway (BENCH_NOTES r3), so the masked half of
-            # the blocks stays on the XLA path.
-            attn = jnp.einsum("bhqd,bhkd->bhqk", q * (hd ** -0.5), k)
-            attn = attn + bias.transpose(2, 0, 1)[None]
-            nw = mask.shape[0]
-            attn = attn.reshape(b_ // nw, nw, nh, n, n) + mask[None, :, None]
-            attn = attn.reshape(b_, nh, n, n)
-            attn = jax.nn.softmax(attn.astype(jnp.float32),
-                                  axis=-1).astype(v.dtype)
-            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        # W-MSA and SW-MSA both ride the shared fused window kernel; the
+        # shifted blocks' 9-region mask is the per-window-class
+        # `window_mask` (period nW along the window axis).
+        from gsasr_tpu.ops.attention import window_attention
+        out = window_attention(q, k, v, bias.transpose(2, 0, 1),
+                               window_mask=mask)
         out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 

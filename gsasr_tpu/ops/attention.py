@@ -180,8 +180,14 @@ fused_window_attention.defvjp(_fwa_fwd, _fwa_bwd)
 
 
 def window_attention(q, k, v, bias: Optional[jax.Array] = None,
-                     *, scale: Optional[float] = None) -> jax.Array:
+                     *, scale: Optional[float] = None,
+                     window_mask: Optional[jax.Array] = None) -> jax.Array:
     """Public entry: fused on TPU, interpreter elsewhere (same kernel).
+
+    window_mask: optional (nW, Tq, Tk) additive mask where window row
+    ``i`` of the (B*nW, ...) operands receives ``window_mask[i % nW]`` —
+    the Swin SW-MSA 9-region mask convention (`swinir.py:231-242`,
+    applied per window class after the head bias).
 
     Set GSASR_ATTN=reference to route through the plain einsum composition
     (used by the per-stage profiling harness to A/B the kernel; read at
@@ -192,8 +198,130 @@ def window_attention(q, k, v, bias: Optional[jax.Array] = None,
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if os.environ.get("GSASR_ATTN", "fused") == "reference":
-        return _attention_reference(q, k, v, bias, float(scale))
-    return fused_window_attention(q, k, v, bias, float(scale))
+        return _attention_reference_masked(q, k, v, bias, window_mask,
+                                           float(scale))
+    if window_mask is None:
+        return fused_window_attention(q, k, v, bias, float(scale))
+    return _masked_window_attention(q, k, v, bias, window_mask,
+                                    float(scale))
+
+
+# ---------------------------------------------------------------------------
+# Masked variant: per-window-class additive mask (Swin SW-MSA / paper-HAT)
+# ---------------------------------------------------------------------------
+#
+# The SW-MSA mask differs per *window class* with period nW along the
+# window axis ((B*nW, nh, T, T) logits get mask[i % nW]); a (nh, Tq, Tk)
+# bias cannot express it. Rather than materializing the (B*nW, nh, T, T)
+# broadcast in HBM (the einsum path), the kernel blocks the window axis in
+# multiples that divide nW, so each grid step's mask block is a static
+# BlockSpec slice — no dynamic VMEM indexing, mask stays resident per step.
+
+
+def _attn_kernel_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
+                        scale: float):
+    # q_ref/o_ref: (WB, 1, Tq, hd); bias_ref: (1, Tq, Tk) f32;
+    # mask_ref: (WB, Tq, Tk) f32 — one mask row per window in the block.
+    bias = bias_ref[0]
+    wb = q_ref.shape[0]
+    for w in range(wb):
+        q = q_ref[w, 0]
+        k = k_ref[w, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s * scale + bias + mask_ref[w]
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[w, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[w, 0] = o.astype(o_ref.dtype)
+
+
+def _attention_pallas_masked(q, k, v, bias, mask, scale):
+    b, nh, tq, hd = q.shape
+    tk = k.shape[2]
+    nw = mask.shape[0]
+    if b % nw != 0:
+        raise ValueError(f"window axis {b} not a multiple of mask period "
+                         f"{nw}")
+    if bias is None:
+        bias = jnp.zeros((nh, tq, tk), jnp.float32)
+    bias = bias.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
+
+    # window block must divide the mask period so each step's mask slice is
+    # contiguous; nw divides b by construction (b = B * nW).
+    wb = _pick_block_b(nw, 16)
+    grid = (nh, b // wb)
+    qspec = pl.BlockSpec((wb, 1, tq, hd), lambda h, i: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((wb, 1, tk, hd), lambda h, i: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, tq, tk), lambda h, i: (h, 0, 0),
+                         memory_space=pltpu.VMEM)
+    nwb = nw // wb
+    mspec = pl.BlockSpec((wb, tq, tk), lambda h, i: (i % nwb, 0, 0),
+                         memory_space=pltpu.VMEM)
+    flops_step = 2 * tq * tk * hd * 2 * wb
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_masked, scale=scale),
+        grid=grid,
+        in_specs=[qspec, kspec, kspec, bspec, mspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_step * nh * (b // wb),
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * nh * tq * tk),
+        interpret=_interpret(),
+    )(q, k, v, bias, mask)
+
+
+def _attention_reference_masked(q, k, v, bias, mask, scale):
+    """Einsum composition with the per-window-class mask broadcast —
+    backward path and numeric oracle (mirrors `swinir.py:236-241`)."""
+    if mask is None:
+        return _attention_reference(q, k, v, bias, scale)
+    b, nh, tq, _ = q.shape
+    tk = k.shape[2]
+    nw = mask.shape[0]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    if bias is not None:
+        s = s + bias[None].astype(s.dtype)
+    s = s.reshape(b // nw, nw, nh, tq, tk) + mask[None, :, None]
+    s = s.reshape(b, nh, tq, tk)
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _masked_window_attention(q, k, v, bias, mask, scale: float):
+    return _attention_pallas_masked(q, k, v, bias, mask, scale)
+
+
+def _mwa_fwd(q, k, v, bias, mask, scale):
+    return (_attention_pallas_masked(q, k, v, bias, mask, scale),
+            (q, k, v, bias, mask))
+
+
+def _mwa_bwd(scale, res, g):
+    q, k, v, bias, mask = res
+    if bias is None:
+        out, vjp = jax.vjp(
+            lambda q_, k_, v_, m_: _attention_reference_masked(
+                q_, k_, v_, None, m_, scale), q, k, v, mask)
+        dq, dk, dv, dm = vjp(g)
+        return (dq, dk, dv, None, dm)
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, b_, m_: _attention_reference_masked(
+            q_, k_, v_, b_, m_, scale), q, k, v, bias, mask)
+    return vjp(g)
+
+
+_masked_window_attention.defvjp(_mwa_fwd, _mwa_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -102,6 +102,64 @@ def test_forward_parity_prime_windows(b):
     np.testing.assert_allclose(out, ref, atol=2e-6)
 
 
+def test_masked_forward_parity():
+    """SW-MSA-style per-window-class mask: kernel vs the broadcast einsum
+    composition (`swinir.py:236-241` semantics)."""
+    from gsasr_tpu.ops.attention import (_attention_reference_masked,
+                                         window_attention)
+
+    b_img, nw, nh, t, hd = 3, 4, 2, 16, 8
+    b = b_img * nw
+    q, k, v = (_rand((b, nh, t, hd), i) for i in range(3))
+    bias = _rand((nh, t, t), 3)
+    # 9-region-style mask: blocks of -100/0
+    mask = np.where(np.random.default_rng(4).random((nw, t, t)) > 0.5,
+                    -100.0, 0.0).astype(np.float32)
+    mask = jnp.asarray(mask)
+    out = window_attention(q, k, v, bias, window_mask=mask)
+    ref = _attention_reference_masked(q, k, v, bias, mask, hd ** -0.5)
+    np.testing.assert_allclose(out, ref, atol=2e-6)
+    # nobias path
+    out_nb = window_attention(q, k, v, None, window_mask=mask)
+    ref_nb = _attention_reference_masked(q, k, v, None, mask, hd ** -0.5)
+    np.testing.assert_allclose(out_nb, ref_nb, atol=2e-6)
+
+
+def test_masked_gradients_match():
+    from gsasr_tpu.ops.attention import (_attention_reference_masked,
+                                         window_attention)
+
+    nw, nh, t, hd = 2, 2, 8, 4
+    b = 2 * nw
+    q, k, v = (_rand((b, nh, t, hd), i) for i in range(3))
+    bias = _rand((nh, t, t), 3)
+    mask = jnp.asarray(np.where(
+        np.random.default_rng(4).random((nw, t, t)) > 0.5, -100.0, 0.0)
+        .astype(np.float32))
+    w = jnp.cos(jnp.arange(hd, dtype=jnp.float32))
+
+    def loss_fused(q, k, v, b_):
+        return (window_attention(q, k, v, b_, window_mask=mask) * w).sum()
+
+    def loss_ref(q, k, v, b_):
+        return (_attention_reference_masked(q, k, v, b_, mask, hd ** -0.5)
+                * w).sum()
+
+    ga = jax.grad(loss_fused, (0, 1, 2, 3))(q, k, v, bias)
+    gb = jax.grad(loss_ref, (0, 1, 2, 3))(q, k, v, bias)
+    for a, r, name in zip(ga, gb, "qkvb"):
+        np.testing.assert_allclose(a, r, atol=1e-5, err_msg=f"grad {name}")
+
+
+def test_masked_rejects_mismatched_period():
+    from gsasr_tpu.ops.attention import window_attention
+
+    q, k, v = (_rand((6, 2, 8, 4), i) for i in range(3))
+    with pytest.raises(ValueError):
+        window_attention(q, k, v, None,
+                         window_mask=jnp.zeros((4, 8, 8), jnp.float32))
+
+
 def test_packed_forward_parity_prime_windows():
     from gsasr_tpu.ops.attention import (window_attention_packed,
                                          _attention_packed_reference)
