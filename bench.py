@@ -66,6 +66,13 @@ def main():
         (1, lr_size, lr_size, 3), dtype=np.float32))
 
     ckpt = os.environ.get("GSASR_BENCH_CKPT")
+    if not ckpt:
+        # auto-detect the round's training run (experiments/ is untracked;
+        # present only when a run happened in this workspace)
+        import glob
+        cands = sorted(glob.glob("experiments/*/checkpoints/*"),
+                       key=lambda p: (os.path.getmtime(p), p))
+        ckpt = cands[-1] if cands else None
     if ckpt and os.path.isdir(ckpt):
         from gsasr_tpu.utils.checkpoint import load_eval_params
         enc_params, dec_params = load_eval_params(ckpt)

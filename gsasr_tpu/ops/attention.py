@@ -23,10 +23,12 @@ softmax and applies it to V without ever writing the logits to HBM.
 Windows are small (<= a few hundred tokens), so no flash-style online
 softmax is needed — the full (Tq, Tk) tile fits comfortably.
 
-Backward: ``jax.custom_vjp`` recomputes attention via the plain einsum
-composition and differentiates through that (one extra fused forward
-instead of storing per-layer probabilities — the memory-for-FLOPs trade
-that suits TPU training).
+Backward: ``jax.custom_vjp``. The packed variant's VJP is a second Pallas
+kernel that recomputes the softmax per window in VMEM and applies the
+attention backward (dq/dk/dv + accumulated dbias) without materializing
+the (Tq, Tk) probabilities or their gradients in HBM — the
+memory-for-FLOPs trade that suits TPU training. The 4D variants'
+backward differentiates the einsum composition (one extra forward).
 
 Layout notes (why this is TPU-first rather than a CUDA translation):
 - grid = (head, window-blocks): the rel-pos bias block depends only on the
@@ -104,6 +106,90 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
         o_ref[w, 0] = o.astype(o_ref.dtype)
 
 
+def _attn_kernel_bwd(q_ref, k_ref, v_ref, bias_ref, g_ref,
+                     dq_ref, dk_ref, dv_ref, dbias_ref, *, scale: float):
+    """Recompute-in-VMEM backward for the 4D (B, nh, T, hd) layout: per
+    window, rebuild the softmax and apply the attention VJP; dbias
+    accumulates across the window sweep of each head (block revisits are
+    consecutive — i is the fastest grid axis, the block depends on h)."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    bias = bias_ref[0]
+    wb = q_ref.shape[0]
+    for w in range(wb):
+        q = q_ref[w, 0]
+        k = k_ref[w, 0]
+        v = v_ref[w, 0]
+        g = g_ref[w, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s * scale + bias
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        dv = jax.lax.dot_general(
+            p, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dbias_ref[0] += ds
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dq_ref[w, 0] = dq.astype(dq_ref.dtype)
+        dk_ref[w, 0] = dk.astype(dk_ref.dtype)
+        dv_ref[w, 0] = dv.astype(dv_ref.dtype)
+
+
+def _attention_pallas_bwd(q, k, v, bias, g, scale):
+    b, nh, tq, hd = q.shape
+    tk = k.shape[2]
+    if bias is None:
+        bias_arr = jnp.zeros((nh, tq, tk), jnp.float32)
+    else:
+        bias_arr = bias.astype(jnp.float32)
+
+    wb, bp = _block_b_with_pad(b, 16)
+    q, k, v, g = (_pad_axis0(x, bp) for x in (q, k, v, g))
+    grid = (nh, bp // wb)
+    qspec = pl.BlockSpec((wb, 1, tq, hd), lambda h, i: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((wb, 1, tk, hd), lambda h, i: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, tq, tk), lambda h, i: (h, 0, 0),
+                         memory_space=pltpu.VMEM)
+    flops_step = 2 * tq * tk * hd * 5 * wb
+    dq, dk, dv, dbias = pl.pallas_call(
+        functools.partial(_attn_kernel_bwd, scale=scale),
+        grid=grid,
+        in_specs=[qspec, kspec, kspec, bspec, qspec],
+        out_specs=[qspec, kspec, kspec, bspec],
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype),
+                   jax.ShapeDtypeStruct((nh, tq, tk), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_step * nh * (bp // wb),
+            bytes_accessed=4 * (q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=bp * nh * tq * tk),
+        interpret=_interpret(),
+    )(q, k, v, bias_arr, g)
+    if bp != b:
+        dq, dk, dv = dq[:b], dk[:b], dv[:b]
+    dbias = None if bias is None else dbias.astype(bias.dtype)
+    return dq, dk, dv, dbias
+
+
 def _attention_reference(q, k, v, bias, scale):
     """Plain composition (the pre-kernel decoder path) — used for the
     backward pass and as the numeric oracle in tests."""
@@ -165,15 +251,7 @@ def _fwa_fwd(q, k, v, bias, scale):
 
 def _fwa_bwd(scale, res, g):
     q, k, v, bias = res
-    if bias is None:
-        _, vjp = jax.vjp(
-            lambda q_, k_, v_: _attention_reference(q_, k_, v_, None, scale),
-            q, k, v)
-        return (*vjp(g), None)
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_, b_: _attention_reference(q_, k_, v_, b_, scale),
-        q, k, v, bias)
-    return vjp(g)
+    return _attention_pallas_bwd(q, k, v, bias, g, scale)
 
 
 fused_window_attention.defvjp(_fwa_fwd, _fwa_bwd)
@@ -308,6 +386,11 @@ def _mwa_fwd(q, k, v, bias, mask, scale):
 
 
 def _mwa_bwd(scale, res, g):
+    # The masked backward stays on the einsum composition: dmask would
+    # accumulate into (i % nW)-indexed output blocks, which the sequential
+    # TPU grid revisits non-consecutively (correct block-revisit
+    # accumulation requires consecutive visits, as in _attn_kernel_bwd's
+    # per-head dbias). Masked layers are the shifted half of Swin blocks.
     q, k, v, bias, mask = res
     if bias is None:
         out, vjp = jax.vjp(
@@ -396,6 +479,99 @@ def _attention_packed_pallas(q, k, v, bias, scale, num_heads):
     return out[:b] if bp != b else out
 
 
+def _attn_kernel_packed_bwd(q_ref, k_ref, v_ref, bias_ref, g_ref,
+                            dq_ref, dk_ref, dv_ref, dbias_ref, *,
+                            scale: float, num_heads: int):
+    """Recompute-in-VMEM backward: per window/head, rebuild the softmax and
+    apply the standard attention VJP without ever writing the (Tq, Tk)
+    probabilities or their gradients to HBM. dbias accumulates across the
+    window grid (same-block revisiting, zero-initialized at step 0)."""
+    wb, tq, c = q_ref.shape
+    hd = c // num_heads
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    for w in range(wb):
+        q = q_ref[w]
+        k = k_ref[w]
+        v = v_ref[w]
+        g = g_ref[w]
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            s = jax.lax.dot_general(
+                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s * scale + bias_ref[h]
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)  # (tq, tk) f32
+            gh = g[:, sl]
+            # dv = p^T g
+            dv = jax.lax.dot_general(
+                p, gh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # dp = g v^T ; ds = p * (dp - rowsum(dp * p))
+            dp = jax.lax.dot_general(
+                gh, v[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dbias_ref[h] += ds
+            dq = jax.lax.dot_general(
+                ds, k[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(
+                ds, q[:, sl], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dq_ref[w, :, sl] = dq.astype(dq_ref.dtype)
+            dk_ref[w, :, sl] = dk.astype(dk_ref.dtype)
+            dv_ref[w, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _attention_packed_pallas_bwd(q, k, v, bias, g, scale, num_heads):
+    b, tq, c = q.shape
+    tk = k.shape[1]
+    if bias is None:
+        bias_arr = jnp.zeros((num_heads, tq, tk), jnp.float32)
+    else:
+        bias_arr = bias.astype(jnp.float32)
+
+    wb, bp = _block_b_with_pad(b, 8)
+    q, k, v, g = (_pad_axis0(x, bp) for x in (q, k, v, g))
+    grid = (bp // wb,)
+    qspec = pl.BlockSpec((wb, tq, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((wb, tk, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((num_heads, tq, tk), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    hd = c // num_heads
+    # fwd recompute + 4 bwd dots per head
+    flops_step = 2 * tq * tk * hd * 5 * wb * num_heads
+    dq, dk, dv, dbias = pl.pallas_call(
+        functools.partial(_attn_kernel_packed_bwd, scale=scale,
+                          num_heads=num_heads),
+        grid=grid,
+        in_specs=[qspec, kspec, kspec, bspec, qspec],
+        out_specs=[qspec, kspec, kspec, bspec],
+        out_shape=[jax.ShapeDtypeStruct((bp, tq, c), q.dtype),
+                   jax.ShapeDtypeStruct((bp, tk, c), k.dtype),
+                   jax.ShapeDtypeStruct((bp, tk, c), v.dtype),
+                   jax.ShapeDtypeStruct((num_heads, tq, tk), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_step * (bp // wb),
+            bytes_accessed=4 * (q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=bp * num_heads * tq * tk),
+        interpret=_interpret(),
+    )(q, k, v, bias_arr, g)
+    if bp != b:
+        dq, dk, dv = dq[:b], dk[:b], dv[:b]
+    dbias = None if bias is None else dbias.astype(bias.dtype)
+    return dq, dk, dv, dbias
+
+
 def _attention_packed_reference(q, k, v, bias, scale, num_heads):
     """BTNH einsum composition (no explicit transposes) — backward path
     and numeric oracle for the packed kernel."""
@@ -425,15 +601,7 @@ def _pwa_fwd(q, k, v, bias, scale, num_heads):
 
 def _pwa_bwd(scale, num_heads, res, g):
     q, k, v, bias = res
-    if bias is None:
-        _, vjp = jax.vjp(
-            lambda q_, k_, v_: _attention_packed_reference(
-                q_, k_, v_, None, scale, num_heads), q, k, v)
-        return (*vjp(g), None)
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_, b_: _attention_packed_reference(
-            q_, k_, v_, b_, scale, num_heads), q, k, v, bias)
-    return vjp(g)
+    return _attention_packed_pallas_bwd(q, k, v, bias, g, scale, num_heads)
 
 
 _packed_window_attention.defvjp(_pwa_fwd, _pwa_bwd)

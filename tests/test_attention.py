@@ -63,6 +63,26 @@ def test_gradients_match_composition():
         np.testing.assert_allclose(a, r, atol=1e-5, err_msg=f"grad {name}")
 
 
+def test_gradients_nobias_and_prime_windows():
+    """4D Pallas backward: bias=None (dbias None) and the pad-fallback
+    path (prime window count, padded rows must contribute zero grads)."""
+    b, nh, tq, tk, hd = 19, 2, 12, 12, 8   # prime b -> padded
+    q, k, v = (_rand((b, nh, t, hd), i)
+               for i, t in enumerate((tq, tk, tk)))
+    w = jnp.cos(jnp.arange(hd, dtype=jnp.float32))
+
+    def loss_fused(q, k, v):
+        return (window_attention(q, k, v) * w).sum()
+
+    def loss_ref(q, k, v):
+        return (_attention_reference(q, k, v, None, hd ** -0.5) * w).sum()
+
+    ga = jax.grad(loss_fused, (0, 1, 2))(q, k, v)
+    gb = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
+    for a, r, name in zip(ga, gb, "qkv"):
+        np.testing.assert_allclose(a, r, atol=1e-5, err_msg=f"grad {name}")
+
+
 def test_custom_scale_and_jit():
     q, k, v = (_rand((3, 2, 16, 8), i) for i in range(3))
     f = jax.jit(lambda q, k, v: window_attention(q, k, v, scale=0.5))
@@ -223,6 +243,37 @@ def test_packed_gradients_match(rng):
 
     gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
     gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_packed_gradients_nobias_and_padded(rng):
+    """Pallas backward on the pad-fallback path (prime window count) and
+    with bias=None (dbias must come back None, padded rows contribute
+    zero)."""
+    import jax
+    import jax.numpy as jnp
+    from gsasr_tpu.ops.attention import (window_attention_packed,
+                                         _attention_packed_reference)
+
+    b, t, nh, hd = 11, 8, 2, 4   # prime b -> padded to 16
+    c = nh * hd
+    q = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+
+    def loss_fused(q_, k_, v_):
+        return jnp.sum(w * window_attention_packed(q_, k_, v_, None,
+                                                   num_heads=nh))
+
+    def loss_ref(q_, k_, v_):
+        return jnp.sum(w * _attention_packed_reference(q_, k_, v_, None,
+                                                       hd ** -0.5, nh))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-4)
