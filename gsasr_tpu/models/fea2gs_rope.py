@@ -69,7 +69,8 @@ def rope_phases(freqs, t_x, t_y):
 
 def apply_rope(x, phases):
     """Rotate feature pairs: x (B, nh, N, hd); phases (nh, N', hd/2) with
-    N' >= N (sliced). Complex multiply as real rotation, fp32, cast back."""
+    N' >= N (sliced). Complex multiply as real rotation, fp32, cast back.
+    (Numeric oracle for `apply_rope_packed`, which the models use.)"""
     b, nh, n, hd = x.shape
     dtype = x.dtype
     xf = x.astype(jnp.float32).reshape(b, nh, n, hd // 2, 2)
@@ -80,22 +81,29 @@ def apply_rope(x, phases):
     return jnp.stack([real, imag], axis=-1).reshape(b, nh, n, hd).astype(dtype)
 
 
-def _sdpa(q, k, v):
-    """Scaled-dot-product attention over (B, nh, N, hd) — fused Pallas
-    window kernel (the reference uses F.scaled_dot_product_attention /
-    FlashAttention here; `window_attention` is the TPU equivalent)."""
-    from gsasr_tpu.ops.attention import window_attention
-    return window_attention(q, k, v)
-
-
-def _split_heads(x, nh):
+def apply_rope_packed(x, phases, num_heads: int):
+    """RoPE on packed (B, N, C) operands, C = nh * hd in torch
+    MultiheadAttention head packing. Pure reshapes (no transposes) so the
+    rotation fuses into the surrounding elementwise chain and the packed
+    attention kernel's layout is preserved end-to-end."""
     b, n, c = x.shape
-    return x.reshape(b, n, nh, c // nh).transpose(0, 2, 1, 3)
+    hdh = phases.shape[2]  # hd // 2
+    dtype = x.dtype
+    xf = x.astype(jnp.float32).reshape(b, n, num_heads, hdh, 2)
+    ph = phases[:, :n].transpose(1, 0, 2)[None]  # (1, n, nh, hdh)
+    cos = jnp.cos(ph)
+    sin = jnp.sin(ph)
+    real = xf[..., 0] * cos - xf[..., 1] * sin
+    imag = xf[..., 0] * sin + xf[..., 1] * cos
+    return jnp.stack([real, imag], axis=-1).reshape(b, n, c).astype(dtype)
 
 
-def _merge_heads(x):
-    b, nh, n, hd = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(b, n, nh * hd)
+def _sdpa_packed(q, k, v, num_heads: int):
+    """Packed-layout SDPA (the reference's F.scaled_dot_product_attention /
+    FlashAttention): heads split inside the kernel — no (B, nh, N, hd)
+    intermediates in HBM (see ops/attention.py)."""
+    from gsasr_tpu.ops.attention import window_attention_packed
+    return window_attention_packed(q, k, v, None, num_heads=num_heads)
 
 
 class RopeWindowCrossAttn(nn.Module):
@@ -120,15 +128,12 @@ class RopeWindowCrossAttn(nn.Module):
                            (2, nh, self.dim // nh // 2))
         phases = rope_phases(freqs, jnp.asarray(t_x), jnp.asarray(t_y))
 
-        q = _split_heads(nn.Dense(self.dim, dtype=self.dtype,
-                                  name="qhead")(gs), nh)
-        k = _split_heads(nn.Dense(self.dim, dtype=self.dtype,
-                                  name="khead")(feat), nh)
-        v = _split_heads(nn.Dense(self.dim, dtype=self.dtype,
-                                  name="vhead")(feat), nh)
-        q = apply_rope(q, phases)
-        k = apply_rope(k, phases)
-        out = _merge_heads(_sdpa(q, k, v))
+        q = nn.Dense(self.dim, dtype=self.dtype, name="qhead")(gs)
+        k = nn.Dense(self.dim, dtype=self.dtype, name="khead")(feat)
+        v = nn.Dense(self.dim, dtype=self.dtype, name="vhead")(feat)
+        q = apply_rope_packed(q, phases, nh)
+        k = apply_rope_packed(k, phases, nh)
+        out = _sdpa_packed(q, k, v, nh)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
@@ -150,15 +155,12 @@ class RopeGSSelfAttn(nn.Module):
                            (2, nh, self.dim // nh // 2))
         phases = rope_phases(freqs, jnp.asarray(t_x), jnp.asarray(t_y))
 
-        q = _split_heads(nn.Dense(self.dim, dtype=self.dtype,
-                                  name="qhead")(gs), nh)
-        k = _split_heads(nn.Dense(self.dim, dtype=self.dtype,
-                                  name="khead")(gs), nh)
-        v = _split_heads(nn.Dense(self.dim, dtype=self.dtype,
-                                  name="vhead")(gs), nh)
-        q = apply_rope(q, phases)
-        k = apply_rope(k, phases)
-        out = _merge_heads(_sdpa(q, k, v))
+        q = nn.Dense(self.dim, dtype=self.dtype, name="qhead")(gs)
+        k = nn.Dense(self.dim, dtype=self.dtype, name="khead")(gs)
+        v = nn.Dense(self.dim, dtype=self.dtype, name="vhead")(gs)
+        q = apply_rope_packed(q, phases, nh)
+        k = apply_rope_packed(k, phases, nh)
+        out = _sdpa_packed(q, k, v, nh)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 

@@ -26,9 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from gsasr_tpu.models.common import DropPath
-from gsasr_tpu.models.fea2gs_rope import (apply_rope, rope_freqs_init,
-                                          rope_phases, rope_t_xy, _sdpa,
-                                          _split_heads, _merge_heads)
+from gsasr_tpu.models.fea2gs_rope import (apply_rope_packed, rope_freqs_init,
+                                          rope_phases, rope_t_xy,
+                                          _sdpa_packed)
 from gsasr_tpu.models.swinir import window_partition, window_reverse
 
 
@@ -85,10 +85,10 @@ class HATWindowAttention(nn.Module):
         phases = rope_phases(freqs, jnp.asarray(t_x), jnp.asarray(t_y))
 
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b_, n, 3, nh, c // nh).transpose(2, 0, 3, 1, 4)
-        q = apply_rope(qkv[0], phases)
-        k = apply_rope(qkv[1], phases)
-        out = _merge_heads(_sdpa(q, k, qkv[2]))
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # (b_, n, c) each, no copies
+        q = apply_rope_packed(q, phases, nh)
+        k = apply_rope_packed(k, phases, nh)
+        out = _sdpa_packed(q, k, v, nh)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
@@ -195,10 +195,9 @@ class OCAB(nn.Module):
                            (2, nh, c // nh // 2))
         phases = rope_phases(freqs, jnp.asarray(t_x), jnp.asarray(t_y))
 
-        qh = apply_rope(_split_heads(q_w, nh), phases)
-        kh = apply_rope(_split_heads(k_w, nh), phases)
-        vh = _split_heads(v_w, nh)
-        out = _merge_heads(_sdpa(qh, kh, vh))  # (b*nw, ws*ws, c)
+        qh = apply_rope_packed(q_w, phases, nh)
+        kh = apply_rope_packed(k_w, phases, nh)
+        out = _sdpa_packed(qh, kh, v_w, nh)  # (b*nw, ws*ws, c)
         out = window_reverse(out, ws, h, w)
         x = nn.Dense(c, dtype=self.dtype, name="proj")(out) + shortcut
 

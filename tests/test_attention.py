@@ -277,3 +277,24 @@ def test_packed_gradients_nobias_and_padded(rng):
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_apply_rope_packed_matches_4d(rng):
+    """Packed RoPE (B, N, C) vs the 4D head-split oracle."""
+    import jax.numpy as jnp
+    from gsasr_tpu.models.fea2gs_rope import (apply_rope, apply_rope_packed,
+                                              rope_freqs_init, rope_phases,
+                                              rope_t_xy)
+
+    b, n, nh, hd = 3, 16, 4, 8
+    c = nh * hd
+    x = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    t_x, t_y = rope_t_xy(4, 4)
+    freqs = rope_freqs_init(hd, nh)(jax.random.PRNGKey(0),
+                                    (2, nh, hd // 2))
+    phases = rope_phases(freqs, jnp.asarray(t_x), jnp.asarray(t_y))
+    packed = apply_rope_packed(x, phases, nh)
+    x4 = x.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
+    ref = apply_rope(x4, phases)
+    ref = np.asarray(ref).transpose(0, 2, 1, 3).reshape(b, n, c)
+    np.testing.assert_allclose(np.asarray(packed), ref, atol=1e-6)
