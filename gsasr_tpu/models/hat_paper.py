@@ -56,15 +56,13 @@ class PaperWindowAttention(nn.Module):
         idx = self_attn_rel_pos_index(ws)
 
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # (b_, n, c), no copies
         bias = bias_table[idx.reshape(-1)].reshape(n, n, nh)
-        # shared fused window kernel; shifted blocks pass the 9-region
-        # mask as the per-window-class window_mask.
-        from gsasr_tpu.ops.attention import window_attention
-        out = window_attention(q, k, v, bias.transpose(2, 0, 1),
-                               window_mask=mask)
-        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        # packed fused kernel (heads split in-VMEM); shifted blocks pass
+        # the 9-region mask as the per-window-class window_mask.
+        from gsasr_tpu.ops.attention import window_attention_packed
+        out = window_attention_packed(q, k, v, bias.transpose(2, 0, 1),
+                                      num_heads=nh, window_mask=mask)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
@@ -131,7 +129,6 @@ class PaperOCAB(nn.Module):
         ows = int(ws * self.overlap_ratio) + ws
         pad = (ows - ws) // 2
         nh = self.num_heads
-        hd = c // nh
 
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
@@ -159,18 +156,12 @@ class PaperOCAB(nn.Module):
             ((ws + ows - 1) ** 2, nh))
         idx = oca_rel_pos_index(ws, ows)
 
-        def heads(t, n):
-            return t.reshape(-1, n, nh, hd).transpose(0, 2, 1, 3)
-
-        qh = heads(q_w, ws * ws)
-        kh = heads(k_w, ows * ows)
-        vh = heads(v_w, ows * ows)
         bias = bias_table[idx.reshape(-1)].reshape(ws * ws, ows * ows, nh)
         # rectangular (Tq=ws^2, Tk=ows^2) cross-window attention on the
-        # shared fused kernel.
-        from gsasr_tpu.ops.attention import window_attention
-        out = window_attention(qh, kh, vh, bias.transpose(2, 0, 1))
-        out = out.transpose(0, 2, 1, 3).reshape(-1, ws * ws, c)
+        # packed fused kernel — q_w/k_w/v_w are already (b*nW, T, C).
+        from gsasr_tpu.ops.attention import window_attention_packed
+        out = window_attention_packed(q_w, k_w, v_w,
+                                      bias.transpose(2, 0, 1), num_heads=nh)
         out = window_reverse(out, ws, h, w)
         x = nn.Dense(c, dtype=self.dtype, name="proj")(out) + shortcut
 

@@ -85,17 +85,16 @@ class WindowAttention(nn.Module):
         idx = self_attn_rel_pos_index(ws)
 
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # (b_, n, c), no copies
         bias = bias_table[idx.reshape(-1)].reshape(n, n, nh)
 
-        # W-MSA and SW-MSA both ride the shared fused window kernel; the
-        # shifted blocks' 9-region mask is the per-window-class
-        # `window_mask` (period nW along the window axis).
-        from gsasr_tpu.ops.attention import window_attention
-        out = window_attention(q, k, v, bias.transpose(2, 0, 1),
-                               window_mask=mask)
-        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        # W-MSA and SW-MSA both ride the packed fused kernel (heads split
+        # in-VMEM, no (B, nh, T, hd) transposes in HBM); the shifted
+        # blocks' 9-region mask is the per-window-class `window_mask`
+        # (period nW along the window axis).
+        from gsasr_tpu.ops.attention import window_attention_packed
+        out = window_attention_packed(q, k, v, bias.transpose(2, 0, 1),
+                                      num_heads=nh, window_mask=mask)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 

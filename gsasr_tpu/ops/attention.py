@@ -609,19 +609,145 @@ _packed_window_attention.defvjp(_pwa_fwd, _pwa_bwd)
 
 def window_attention_packed(q, k, v, bias: Optional[jax.Array] = None,
                             *, num_heads: int,
-                            scale: Optional[float] = None) -> jax.Array:
+                            scale: Optional[float] = None,
+                            window_mask: Optional[jax.Array] = None
+                            ) -> jax.Array:
     """Multi-head window attention on packed (B, T, C) operands.
 
     q: (B, Tq, C); k, v: (B, Tk, C); bias: (nh, Tq, Tk) or None. Heads are
     C split into `num_heads` contiguous slices (torch MultiheadAttention
-    packing). Returns (B, Tq, C) in q's dtype — no (B, nh, T, hd)
-    intermediate ever hits HBM.
+    packing). window_mask: optional (nW, Tq, Tk) per-window-class additive
+    mask, row ``i`` of the window axis receiving ``window_mask[i % nW]``
+    (SW-MSA convention). Returns (B, Tq, C) in q's dtype — no
+    (B, nh, T, hd) intermediate ever hits HBM.
     """
     import os
 
     if scale is None:
         scale = (q.shape[-1] // num_heads) ** -0.5
     if os.environ.get("GSASR_ATTN", "fused") == "reference":
-        return _attention_packed_reference(q, k, v, bias, float(scale),
+        return _attention_packed_reference_masked(
+            q, k, v, bias, window_mask, float(scale), num_heads)
+    if window_mask is None:
+        return _packed_window_attention(q, k, v, bias, float(scale),
+                                        num_heads)
+    return _masked_packed_window_attention(q, k, v, bias, window_mask,
+                                           float(scale), num_heads)
+
+
+def _attn_kernel_packed_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref,
+                               o_ref, *, scale: float, num_heads: int):
+    # like _attn_kernel_packed plus a per-window mask block (WB, Tq, Tk).
+    wb, tq, c = q_ref.shape
+    hd = c // num_heads
+    for w in range(wb):
+        q = q_ref[w]
+        k = k_ref[w]
+        v = v_ref[w]
+        m = mask_ref[w]
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            s = jax.lax.dot_general(
+                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s * scale + bias_ref[h] + m
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[w, :, sl] = o.astype(o_ref.dtype)
+
+
+def _attention_packed_pallas_masked(q, k, v, bias, mask, scale, num_heads):
+    b, tq, c = q.shape
+    tk = k.shape[1]
+    nw = mask.shape[0]
+    if b % nw != 0:
+        raise ValueError(f"window axis {b} not a multiple of mask period "
+                         f"{nw}")
+    if bias is None:
+        bias = jnp.zeros((num_heads, tq, tk), jnp.float32)
+    bias = bias.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
+
+    wb = _pick_block_b(nw, 8)  # divides nw, hence b
+    grid = (b // wb,)
+    qspec = pl.BlockSpec((wb, tq, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((wb, tk, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((num_heads, tq, tk), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    nwb = nw // wb
+    mspec = pl.BlockSpec((wb, tq, tk), lambda i: (i % nwb, 0, 0),
+                         memory_space=pltpu.VMEM)
+    hd = c // num_heads
+    flops_step = 2 * tq * tk * hd * 2 * wb * num_heads
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_packed_masked, scale=scale,
+                          num_heads=num_heads),
+        grid=grid,
+        in_specs=[qspec, kspec, kspec, bspec, mspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_step * (b // wb),
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * num_heads * tq * tk),
+        interpret=_interpret(),
+    )(q, k, v, bias, mask)
+
+
+def _attention_packed_reference_masked(q, k, v, bias, mask, scale,
+                                       num_heads):
+    if mask is None:
+        return _attention_packed_reference(q, k, v, bias, scale, num_heads)
+    b, tq, c = q.shape
+    tk = k.shape[1]
+    nw = mask.shape[0]
+    hd = c // num_heads
+    qh = q.reshape(b, tq, num_heads, hd)
+    kh = k.reshape(b, tk, num_heads, hd)
+    vh = v.reshape(b, tk, num_heads, hd)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * scale
+    if bias is not None:
+        s = s + bias[None].astype(s.dtype)
+    s = s.reshape(b // nw, nw, num_heads, tq, tk) + mask[None, :, None]
+    s = s.reshape(b, num_heads, tq, tk)
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(v.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, vh)
+    return o.reshape(b, tq, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _masked_packed_window_attention(q, k, v, bias, mask, scale: float,
+                                    num_heads: int):
+    return _attention_packed_pallas_masked(q, k, v, bias, mask, scale,
                                            num_heads)
-    return _packed_window_attention(q, k, v, bias, float(scale), num_heads)
+
+
+def _mpwa_fwd(q, k, v, bias, mask, scale, num_heads):
+    return (_attention_packed_pallas_masked(q, k, v, bias, mask, scale,
+                                            num_heads),
+            (q, k, v, bias, mask))
+
+
+def _mpwa_bwd(scale, num_heads, res, g):
+    # einsum-composition backward (see _mwa_bwd for why the masked VJP
+    # stays off Pallas: dmask block revisits are non-consecutive).
+    q, k, v, bias, mask = res
+    if bias is None:
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_, m_: _attention_packed_reference_masked(
+                q_, k_, v_, None, m_, scale, num_heads), q, k, v, mask)
+        dq, dk, dv, dm = vjp(g)
+        return (dq, dk, dv, None, dm)
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, b_, m_: _attention_packed_reference_masked(
+            q_, k_, v_, b_, m_, scale, num_heads), q, k, v, bias, mask)
+    return vjp(g)
+
+
+_masked_packed_window_attention.defvjp(_mpwa_fwd, _mpwa_bwd)

@@ -58,7 +58,8 @@ def main():
     from gsasr_tpu.rendering import render_gaussians
 
     mode = os.environ.get("GSASR_ATTN", "fused")
-    enc, dec = make_models("edsr")
+    enc_name = os.environ.get("GSASR_PROF_ENC", "edsr")  # edsr|rdn|swinir|hat
+    enc, dec = make_models(enc_name)
     rng = jax.random.PRNGKey(0)
     lr_size, scale = 180, 4.0
     lq = jnp.asarray(np.random.default_rng(0).random(
@@ -89,6 +90,7 @@ def main():
     stats = dev.memory_stats() or {}
     print(json.dumps({
         "attn_mode": mode,
+        "encoder": enc_name,
         "null_ms": round(null_ms, 2),
         "encoder_ms": round(enc_ms, 2),
         "decoder_ms": round(dec_ms, 2),

@@ -298,3 +298,40 @@ def test_apply_rope_packed_matches_4d(rng):
     ref = apply_rope(x4, phases)
     ref = np.asarray(ref).transpose(0, 2, 1, 3).reshape(b, n, c)
     np.testing.assert_allclose(np.asarray(packed), ref, atol=1e-6)
+
+
+def test_packed_masked_forward_and_grads(rng):
+    """Packed kernel with the per-window-class mask: fwd parity + grads
+    (einsum-composition VJP) vs the broadcast reference."""
+    from gsasr_tpu.ops.attention import (window_attention_packed,
+                                         _attention_packed_reference_masked)
+
+    b_img, nw, nh, t, hd = 2, 4, 2, 16, 8
+    b, c = b_img * nw, 2 * 8
+    q, k, v = (_rand((b, t, c), i) for i in range(3))
+    bias = _rand((nh, t, t), 3)
+    mask = jnp.asarray(np.where(
+        np.random.default_rng(4).random((nw, t, t)) > 0.5, -100.0, 0.0)
+        .astype(np.float32))
+    out = window_attention_packed(q, k, v, bias, num_heads=nh,
+                                  window_mask=mask)
+    ref = _attention_packed_reference_masked(q, k, v, bias, mask,
+                                             hd ** -0.5, nh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    w = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+
+    def loss_fused(q_, k_, v_, b_):
+        return jnp.sum(w * window_attention_packed(
+            q_, k_, v_, b_, num_heads=nh, window_mask=mask))
+
+    def loss_ref(q_, k_, v_, b_):
+        return jnp.sum(w * _attention_packed_reference_masked(
+            q_, k_, v_, b_, mask, hd ** -0.5, nh))
+
+    gf = jax.grad(loss_fused, (0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(loss_ref, (0, 1, 2, 3))(q, k, v, bias)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
