@@ -50,11 +50,15 @@ def test_parse_multipart_binary_safety():
 def test_demo_server_end_to_end(tmp_path):
     port = _free_port()
     env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    # child output goes to a file, NOT a pipe: XLA can emit tens of KB of
+    # warnings (e.g. compile-cache AOT host-feature mismatches) and an
+    # undrained pipe blocks the server mid-startup.
+    log = open(tmp_path / "demo.log", "wb+")
     proc = subprocess.Popen(
         [sys.executable, "-m", "gsasr_tpu.cli.demo", "--port", str(port)],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        env=env, stdout=log, stderr=subprocess.STDOUT)
     try:
-        _wait_ready(port, proc, timeout=180)
+        _wait_ready(port, proc, timeout=180, log_path=tmp_path / "demo.log")
         # GET serves the form
         with urllib.request.urlopen(
                 f"http://127.0.0.1:{port}/", timeout=30) as r:
@@ -95,12 +99,17 @@ def _free_port() -> int:
     return port
 
 
-def _wait_ready(port, proc, timeout):
+def _wait_ready(port, proc, timeout, log_path=None):
     t0 = time.time()
     while time.time() - t0 < timeout:
         if proc.poll() is not None:
-            out = proc.stdout.read().decode(errors="replace")
-            raise AssertionError(f"demo exited early:\n{out[-2000:]}")
+            out = b""
+            if log_path is not None:
+                out = open(log_path, "rb").read()
+            elif proc.stdout is not None:
+                out = proc.stdout.read()
+            raise AssertionError("demo exited early:\n"
+                                 + out.decode(errors="replace")[-2000:])
         try:
             with urllib.request.urlopen(
                     f"http://127.0.0.1:{port}/", timeout=5):
