@@ -68,11 +68,14 @@ def main():
     ckpt = os.environ.get("GSASR_BENCH_CKPT")
     if not ckpt:
         # auto-detect the round's training run (experiments/ is untracked;
-        # present only when a run happened in this workspace)
+        # present only when a run happened in this workspace). Only
+        # finalized step dirs count: digit-named directories, highest step
+        # wins — in-progress orbax tmp dirs and stray files are skipped.
         import glob
-        cands = sorted(glob.glob("experiments/*/checkpoints/*"),
-                       key=lambda p: (os.path.getmtime(p), p))
-        ckpt = cands[-1] if cands else None
+        cands = [p for p in glob.glob("experiments/*/checkpoints/*")
+                 if os.path.isdir(p) and os.path.basename(p).isdigit()]
+        ckpt = max(cands, key=lambda p: int(os.path.basename(p)),
+                   default=None)
     if ckpt and os.path.isdir(ckpt):
         from gsasr_tpu.utils.checkpoint import load_eval_params
         enc_params, dec_params = load_eval_params(ckpt)

@@ -411,6 +411,8 @@ def generate_gaussian_noise_batch(key, img, sigma=10, gray_noise=0):
     sigma = _per_sample(sigma, b)
     kc, kg = jax.random.split(key)
     noise = jax.random.normal(kc, img.shape, jnp.float32) * sigma / 255.0
+    if isinstance(gray_noise, (int, float)) and gray_noise <= 0:
+        return noise  # static no-gray: skip the second field entirely
     gray = _per_sample(gray_noise, b)
     noise_g = jax.random.normal(kg, (b, h, w, 1), jnp.float32) * sigma / 255.0
     return noise * (1 - gray) + jnp.broadcast_to(noise_g, img.shape) * gray
@@ -451,7 +453,10 @@ def _poisson_vals_batch(img) -> np.ndarray:
 
 def generate_poisson_noise_batch(key, img, scale=1.0, gray_noise=0):
     """(B, H, W, C) Poisson shot noise. `vals` is counted host-side from the
-    materialized batch (data-dependent), the sampling runs on device."""
+    materialized batch (data-dependent), the sampling runs on device.
+    The gray branch (second Poisson field + second host-side unique count)
+    is skipped entirely when gray_noise is a static 0, mirroring the
+    reference's cal_gray_noise guard (`degradations.py:628-640`)."""
     import jax
     import jax.numpy as jnp
 
@@ -462,14 +467,17 @@ def generate_poisson_noise_batch(key, img, scale=1.0, gray_noise=0):
     out = jax.random.poisson(kc, q * vals).astype(jnp.float32) / vals
     noise = out - q
 
-    gray = _per_sample(gray_noise, b)
-    lum = (q[..., :1] * 0.299 + q[..., 1:2] * 0.587 + q[..., 2:3] * 0.114)
-    lum = jnp.clip(jnp.round(lum * 255.0), 0, 255) / 255.0
-    vals_g = jnp.asarray(_poisson_vals_batch(lum)).reshape(b, 1, 1, 1)
-    out_g = jax.random.poisson(kg, lum * vals_g).astype(jnp.float32) / vals_g
-    noise_g = jnp.broadcast_to(out_g - lum, img.shape)
-
-    noise = noise * (1 - gray) + noise_g * gray
+    cal_gray = not (isinstance(gray_noise, (int, float)) and gray_noise <= 0)
+    if cal_gray:
+        gray = _per_sample(gray_noise, b)
+        lum = (q[..., :1] * 0.299 + q[..., 1:2] * 0.587
+               + q[..., 2:3] * 0.114)
+        lum = jnp.clip(jnp.round(lum * 255.0), 0, 255) / 255.0
+        vals_g = jnp.asarray(_poisson_vals_batch(lum)).reshape(b, 1, 1, 1)
+        out_g = (jax.random.poisson(kg, lum * vals_g).astype(jnp.float32)
+                 / vals_g)
+        noise_g = jnp.broadcast_to(out_g - lum, img.shape)
+        noise = noise * (1 - gray) + noise_g * gray
     return noise * _per_sample(scale, b)
 
 

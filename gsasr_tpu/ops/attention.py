@@ -265,7 +265,9 @@ def window_attention(q, k, v, bias: Optional[jax.Array] = None,
     window_mask: optional (nW, Tq, Tk) additive mask where window row
     ``i`` of the (B*nW, ...) operands receives ``window_mask[i % nW]`` —
     the Swin SW-MSA 9-region mask convention (`swinir.py:231-242`,
-    applied per window class after the head bias).
+    applied per window class after the head bias). The masked 4D path is
+    the XLA einsum composition (models use the packed masked kernel,
+    `window_attention_packed(window_mask=...)`).
 
     Set GSASR_ATTN=reference to route through the plain einsum composition
     (used by the per-stage profiling harness to A/B the kernel; read at
@@ -275,13 +277,16 @@ def window_attention(q, k, v, bias: Optional[jax.Array] = None,
 
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if os.environ.get("GSASR_ATTN", "fused") == "reference":
+    if window_mask is not None:
+        if q.shape[0] % window_mask.shape[0] != 0:
+            raise ValueError(
+                f"window axis {q.shape[0]} not a multiple of mask period "
+                f"{window_mask.shape[0]}")
         return _attention_reference_masked(q, k, v, bias, window_mask,
                                            float(scale))
-    if window_mask is None:
-        return fused_window_attention(q, k, v, bias, float(scale))
-    return _masked_window_attention(q, k, v, bias, window_mask,
-                                    float(scale))
+    if os.environ.get("GSASR_ATTN", "fused") == "reference":
+        return _attention_reference(q, k, v, bias, float(scale))
+    return fused_window_attention(q, k, v, bias, float(scale))
 
 
 # ---------------------------------------------------------------------------
@@ -290,72 +295,12 @@ def window_attention(q, k, v, bias: Optional[jax.Array] = None,
 #
 # The SW-MSA mask differs per *window class* with period nW along the
 # window axis ((B*nW, nh, T, T) logits get mask[i % nW]); a (nh, Tq, Tk)
-# bias cannot express it. Rather than materializing the (B*nW, nh, T, T)
-# broadcast in HBM (the einsum path), the kernel blocks the window axis in
-# multiples that divide nW, so each grid step's mask block is a static
-# BlockSpec slice — no dynamic VMEM indexing, mask stays resident per step.
-
-
-def _attn_kernel_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
-                        scale: float):
-    # q_ref/o_ref: (WB, 1, Tq, hd); bias_ref: (1, Tq, Tk) f32;
-    # mask_ref: (WB, Tq, Tk) f32 — one mask row per window in the block.
-    bias = bias_ref[0]
-    wb = q_ref.shape[0]
-    for w in range(wb):
-        q = q_ref[w, 0]
-        k = k_ref[w, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        s = s * scale + bias + mask_ref[w]
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[w, 0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        o_ref[w, 0] = o.astype(o_ref.dtype)
-
-
-def _attention_pallas_masked(q, k, v, bias, mask, scale):
-    b, nh, tq, hd = q.shape
-    tk = k.shape[2]
-    nw = mask.shape[0]
-    if b % nw != 0:
-        raise ValueError(f"window axis {b} not a multiple of mask period "
-                         f"{nw}")
-    if bias is None:
-        bias = jnp.zeros((nh, tq, tk), jnp.float32)
-    bias = bias.astype(jnp.float32)
-    mask = mask.astype(jnp.float32)
-
-    # window block must divide the mask period so each step's mask slice is
-    # contiguous; nw divides b by construction (b = B * nW).
-    wb = _pick_block_b(nw, 16)
-    grid = (nh, b // wb)
-    qspec = pl.BlockSpec((wb, 1, tq, hd), lambda h, i: (i, h, 0, 0),
-                         memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((wb, 1, tk, hd), lambda h, i: (i, h, 0, 0),
-                         memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((1, tq, tk), lambda h, i: (h, 0, 0),
-                         memory_space=pltpu.VMEM)
-    nwb = nw // wb
-    mspec = pl.BlockSpec((wb, tq, tk), lambda h, i: (i % nwb, 0, 0),
-                         memory_space=pltpu.VMEM)
-    flops_step = 2 * tq * tk * hd * 2 * wb
-    return pl.pallas_call(
-        functools.partial(_attn_kernel_masked, scale=scale),
-        grid=grid,
-        in_specs=[qspec, kspec, kspec, bspec, mspec],
-        out_specs=qspec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=flops_step * nh * (b // wb),
-            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
-            transcendentals=b * nh * tq * tk),
-        interpret=_interpret(),
-    )(q, k, v, bias, mask)
+# bias cannot express it. The production path is the PACKED masked kernel
+# below (`window_attention_packed(window_mask=...)`), which blocks the
+# window axis in multiples that divide nW so each grid step's mask block
+# is a static BlockSpec slice. The 4D `window_attention(window_mask=...)`
+# entry stays on the XLA einsum composition — no model uses the 4D layout
+# with masks anymore.
 
 
 def _attention_reference_masked(q, k, v, bias, mask, scale):
@@ -375,36 +320,6 @@ def _attention_reference_masked(q, k, v, bias, mask, scale):
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _masked_window_attention(q, k, v, bias, mask, scale: float):
-    return _attention_pallas_masked(q, k, v, bias, mask, scale)
-
-
-def _mwa_fwd(q, k, v, bias, mask, scale):
-    return (_attention_pallas_masked(q, k, v, bias, mask, scale),
-            (q, k, v, bias, mask))
-
-
-def _mwa_bwd(scale, res, g):
-    # The masked backward stays on the einsum composition: dmask would
-    # accumulate into (i % nW)-indexed output blocks, which the sequential
-    # TPU grid revisits non-consecutively (correct block-revisit
-    # accumulation requires consecutive visits, as in _attn_kernel_bwd's
-    # per-head dbias). Masked layers are the shifted half of Swin blocks.
-    q, k, v, bias, mask = res
-    if bias is None:
-        out, vjp = jax.vjp(
-            lambda q_, k_, v_, m_: _attention_reference_masked(
-                q_, k_, v_, None, m_, scale), q, k, v, mask)
-        dq, dk, dv, dm = vjp(g)
-        return (dq, dk, dv, None, dm)
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_, b_, m_: _attention_reference_masked(
-            q_, k_, v_, b_, m_, scale), q, k, v, bias, mask)
-    return vjp(g)
-
-
-_masked_window_attention.defvjp(_mwa_fwd, _mwa_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -721,6 +636,109 @@ def _attention_packed_reference_masked(q, k, v, bias, mask, scale,
     return o.reshape(b, tq, c)
 
 
+def _attn_kernel_packed_masked_bwd(q_ref, k_ref, v_ref, bias_ref, mask_ref,
+                                   g_ref, dq_ref, dk_ref, dv_ref, dbias_ref,
+                                   dssum_ref, *, scale: float,
+                                   num_heads: int):
+    """Masked packed backward. Like `_attn_kernel_packed_bwd` plus the mask
+    in the softmax recompute; dmask is emitted as per-window ds sums over
+    heads (each grid step owns its own dssum block — no accumulation
+    hazard), reduced over the batch repeat outside the kernel."""
+    wb, tq, c = q_ref.shape
+    tk = mask_ref.shape[-1]
+    hd = c // num_heads
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    for w in range(wb):
+        q = q_ref[w]
+        k = k_ref[w]
+        v = v_ref[w]
+        g = g_ref[w]
+        m = mask_ref[w]
+        ds_sum = jnp.zeros((tq, tk), jnp.float32)
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            s = jax.lax.dot_general(
+                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s * scale + bias_ref[h] + m
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            gh = g[:, sl]
+            dv = jax.lax.dot_general(
+                p, gh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                gh, v[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dbias_ref[h] += ds
+            ds_sum = ds_sum + ds
+            dq = jax.lax.dot_general(
+                ds, k[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(
+                ds, q[:, sl], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dq_ref[w, :, sl] = dq.astype(dq_ref.dtype)
+            dk_ref[w, :, sl] = dk.astype(dk_ref.dtype)
+            dv_ref[w, :, sl] = dv.astype(dv_ref.dtype)
+        dssum_ref[w] = ds_sum
+
+
+def _attention_packed_pallas_masked_bwd(q, k, v, bias, mask, g, scale,
+                                        num_heads):
+    b, tq, c = q.shape
+    tk = k.shape[1]
+    nw = mask.shape[0]
+    if bias is None:
+        bias_arr = jnp.zeros((num_heads, tq, tk), jnp.float32)
+    else:
+        bias_arr = bias.astype(jnp.float32)
+    mask_f = mask.astype(jnp.float32)
+
+    wb = _pick_block_b(nw, 8)  # divides nw, hence b
+    grid = (b // wb,)
+    qspec = pl.BlockSpec((wb, tq, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((wb, tk, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((num_heads, tq, tk), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    nwb = nw // wb
+    mspec = pl.BlockSpec((wb, tq, tk), lambda i: (i % nwb, 0, 0),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((wb, tq, tk), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    hd = c // num_heads
+    flops_step = 2 * tq * tk * hd * 5 * wb * num_heads
+    dq, dk, dv, dbias, ds_sum = pl.pallas_call(
+        functools.partial(_attn_kernel_packed_masked_bwd, scale=scale,
+                          num_heads=num_heads),
+        grid=grid,
+        in_specs=[qspec, kspec, kspec, bspec, mspec, qspec],
+        out_specs=[qspec, kspec, kspec, bspec, sspec],
+        out_shape=[jax.ShapeDtypeStruct((b, tq, c), q.dtype),
+                   jax.ShapeDtypeStruct((b, tk, c), k.dtype),
+                   jax.ShapeDtypeStruct((b, tk, c), v.dtype),
+                   jax.ShapeDtypeStruct((num_heads, tq, tk), jnp.float32),
+                   jax.ShapeDtypeStruct((b, tq, tk), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_step * (b // wb),
+            bytes_accessed=4 * (q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * num_heads * tq * tk),
+        interpret=_interpret(),
+    )(q, k, v, bias_arr, mask_f, g)
+    dmask = ds_sum.reshape(b // nw, nw, tq, tk).sum(0).astype(mask.dtype)
+    dbias = None if bias is None else dbias.astype(bias.dtype)
+    return dq, dk, dv, dbias, dmask
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def _masked_packed_window_attention(q, k, v, bias, mask, scale: float,
                                     num_heads: int):
@@ -735,19 +753,9 @@ def _mpwa_fwd(q, k, v, bias, mask, scale, num_heads):
 
 
 def _mpwa_bwd(scale, num_heads, res, g):
-    # einsum-composition backward (see _mwa_bwd for why the masked VJP
-    # stays off Pallas: dmask block revisits are non-consecutive).
     q, k, v, bias, mask = res
-    if bias is None:
-        _, vjp = jax.vjp(
-            lambda q_, k_, v_, m_: _attention_packed_reference_masked(
-                q_, k_, v_, None, m_, scale, num_heads), q, k, v, mask)
-        dq, dk, dv, dm = vjp(g)
-        return (dq, dk, dv, None, dm)
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_, b_, m_: _attention_packed_reference_masked(
-            q_, k_, v_, b_, m_, scale, num_heads), q, k, v, bias, mask)
-    return vjp(g)
+    return _attention_packed_pallas_masked_bwd(q, k, v, bias, mask, g,
+                                               scale, num_heads)
 
 
 _masked_packed_window_attention.defvjp(_mpwa_fwd, _mpwa_bwd)

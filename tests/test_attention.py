@@ -322,16 +322,19 @@ def test_packed_masked_forward_and_grads(rng):
 
     w = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
 
-    def loss_fused(q_, k_, v_, b_):
+    def loss_fused(q_, k_, v_, b_, m_):
         return jnp.sum(w * window_attention_packed(
-            q_, k_, v_, b_, num_heads=nh, window_mask=mask))
+            q_, k_, v_, b_, num_heads=nh, window_mask=m_))
 
-    def loss_ref(q_, k_, v_, b_):
+    def loss_ref(q_, k_, v_, b_, m_):
         return jnp.sum(w * _attention_packed_reference_masked(
-            q_, k_, v_, b_, mask, hd ** -0.5, nh))
+            q_, k_, v_, b_, m_, hd ** -0.5, nh))
 
-    gf = jax.grad(loss_fused, (0, 1, 2, 3))(q, k, v, bias)
-    gr = jax.grad(loss_ref, (0, 1, 2, 3))(q, k, v, bias)
-    for a, b_ in zip(gf, gr):
+    # incl. dmask: the Pallas backward emits per-window ds sums reduced
+    # over the batch repeat — must match d/dmask of the broadcast einsum.
+    gf = jax.grad(loss_fused, (0, 1, 2, 3, 4))(q, k, v, bias, mask)
+    gr = jax.grad(loss_ref, (0, 1, 2, 3, 4))(q, k, v, bias, mask)
+    for a, b_, name in zip(gf, gr, "qkvbm"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
-                                   rtol=1e-4, atol=1e-4)
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"grad {name}")

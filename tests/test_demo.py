@@ -89,6 +89,7 @@ def test_demo_server_end_to_end(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+        log.close()
 
 
 def _free_port() -> int:

@@ -168,7 +168,8 @@ def test_paths_from_folder(tmp_path):
     for n in ("b.png", "a.png"):
         (tmp_path / n).write_bytes(b"x")
     paths = DU.paths_from_folder(str(tmp_path))
-    assert [p.endswith(n) for p, n in zip(paths, ("a.png", "b.png"))]
+    assert len(paths) == 2
+    assert all(p.endswith(n) for p, n in zip(paths, ("a.png", "b.png")))
     with pytest.raises(ValueError):
         DU.paths_from_lmdb(str(tmp_path))
 
