@@ -18,9 +18,6 @@ from gsasr_tpu.data import degradations as D
 from tests.reference_oracle import import_reference_module, \
     reference_available
 
-pytestmark = pytest.mark.core
-
-
 def _img(seed=0, shape=(24, 20, 3)):
     return np.random.default_rng(seed).random(shape).astype(np.float32)
 

@@ -16,9 +16,6 @@ from gsasr_tpu.data import transforms as T
 from tests.reference_oracle import import_reference_file, \
     reference_available
 
-pytestmark = pytest.mark.core
-
-
 def _img(seed=0, shape=(40, 36, 3)):
     return np.random.default_rng(seed).random(shape).astype(np.float32)
 
