@@ -154,4 +154,5 @@ def build_train_config(opt: Dict[str, Any]):
         # reference ssim_opt (`gsasr_model.py:130-143, 227-242`)
         ssim_weight=float(t.get("ssim_opt", {}).get("loss_weight", 0.0)
                           if isinstance(t.get("ssim_opt"), dict) else 0.0),
+        seed=int(opt.get("manual_seed", 0)),
     )

@@ -575,6 +575,17 @@ def _attn_kernel_packed_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref,
             o_ref[w, :, sl] = o.astype(o_ref.dtype)
 
 
+def _pad_period(x, r: int, nw: int, nwp: int):
+    """Pad the window-class period of a (r*nw, ...) tensor to (r*nwp, ...)
+    with zeros inside each repeat (keeps `i % nwb` mask-block indexing
+    valid after padding)."""
+    if nwp == nw:
+        return x
+    xr = x.reshape(r, nw, *x.shape[1:])
+    pad = jnp.zeros((r, nwp - nw, *x.shape[1:]), x.dtype)
+    return jnp.concatenate([xr, pad], axis=1).reshape(r * nwp, *x.shape[1:])
+
+
 def _attention_packed_pallas_masked(q, k, v, bias, mask, scale, num_heads):
     b, tq, c = q.shape
     tk = k.shape[1]
@@ -587,20 +598,28 @@ def _attention_packed_pallas_masked(q, k, v, bias, mask, scale, num_heads):
     bias = bias.astype(jnp.float32)
     mask = mask.astype(jnp.float32)
 
-    wb = _pick_block_b(nw, 8)  # divides nw, hence b
-    grid = (b // wb,)
+    # Pad fallback for non-composite window-class counts: pad the mask
+    # period and the window axis together (zeros; padded windows are
+    # sliced off below) instead of degenerating to a block-1 grid.
+    r = b // nw
+    wb, nwp = _block_b_with_pad(nw, 8)
+    if nwp != nw:
+        mask = _pad_axis0(mask, nwp)
+        q, k, v = (_pad_period(x, r, nw, nwp) for x in (q, k, v))
+    b_p = r * nwp
+    grid = (b_p // wb,)
     qspec = pl.BlockSpec((wb, tq, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     kspec = pl.BlockSpec((wb, tk, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     bspec = pl.BlockSpec((num_heads, tq, tk), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM)
-    nwb = nw // wb
+    nwb = nwp // wb
     mspec = pl.BlockSpec((wb, tq, tk), lambda i: (i % nwb, 0, 0),
                          memory_space=pltpu.VMEM)
     hd = c // num_heads
     flops_step = 2 * tq * tk * hd * 2 * wb * num_heads
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_attn_kernel_packed_masked, scale=scale,
                           num_heads=num_heads),
         grid=grid,
@@ -608,11 +627,14 @@ def _attention_packed_pallas_masked(q, k, v, bias, mask, scale, num_heads):
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=flops_step * (b // wb),
+            flops=flops_step * (b_p // wb),
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
-            transcendentals=b * num_heads * tq * tk),
+            transcendentals=b_p * num_heads * tq * tk),
         interpret=_interpret(),
     )(q, k, v, bias, mask)
+    if nwp != nw:
+        out = out.reshape(r, nwp, tq, c)[:, :nw].reshape(b, tq, c)
+    return out
 
 
 def _attention_packed_reference_masked(q, k, v, bias, mask, scale,
@@ -638,14 +660,13 @@ def _attention_packed_reference_masked(q, k, v, bias, mask, scale,
 
 def _attn_kernel_packed_masked_bwd(q_ref, k_ref, v_ref, bias_ref, mask_ref,
                                    g_ref, dq_ref, dk_ref, dv_ref, dbias_ref,
-                                   dssum_ref, *, scale: float,
-                                   num_heads: int):
+                                   *, scale: float, num_heads: int):
     """Masked packed backward. Like `_attn_kernel_packed_bwd` plus the mask
-    in the softmax recompute; dmask is emitted as per-window ds sums over
-    heads (each grid step owns its own dssum block — no accumulation
-    hazard), reduced over the batch repeat outside the kernel."""
+    in the softmax recompute. No dmask is computed: at every call site the
+    SW-MSA mask is a non-trainable roll-pattern constant, so its cotangent
+    is zeros by construction (see `_mpwa_bwd`) and emitting per-window ds
+    sums would be pure HBM traffic."""
     wb, tq, c = q_ref.shape
-    tk = mask_ref.shape[-1]
     hd = c // num_heads
     i = pl.program_id(0)
 
@@ -659,7 +680,6 @@ def _attn_kernel_packed_masked_bwd(q_ref, k_ref, v_ref, bias_ref, mask_ref,
         v = v_ref[w]
         g = g_ref[w]
         m = mask_ref[w]
-        ds_sum = jnp.zeros((tq, tk), jnp.float32)
         for h in range(num_heads):
             sl = slice(h * hd, (h + 1) * hd)
             s = jax.lax.dot_general(
@@ -678,7 +698,6 @@ def _attn_kernel_packed_masked_bwd(q_ref, k_ref, v_ref, bias_ref, mask_ref,
                 preferred_element_type=jnp.float32)
             ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
             dbias_ref[h] += ds
-            ds_sum = ds_sum + ds
             dq = jax.lax.dot_general(
                 ds, k[:, sl], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
@@ -688,7 +707,6 @@ def _attn_kernel_packed_masked_bwd(q_ref, k_ref, v_ref, bias_ref, mask_ref,
             dq_ref[w, :, sl] = dq.astype(dq_ref.dtype)
             dk_ref[w, :, sl] = dk.astype(dk_ref.dtype)
             dv_ref[w, :, sl] = dv.astype(dv_ref.dtype)
-        dssum_ref[w] = ds_sum
 
 
 def _attention_packed_pallas_masked_bwd(q, k, v, bias, mask, g, scale,
@@ -702,41 +720,51 @@ def _attention_packed_pallas_masked_bwd(q, k, v, bias, mask, g, scale,
         bias_arr = bias.astype(jnp.float32)
     mask_f = mask.astype(jnp.float32)
 
-    wb = _pick_block_b(nw, 8)  # divides nw, hence b
-    grid = (b // wb,)
+    # Same pad fallback as the forward; padded windows have g = 0, so
+    # every cotangent they produce (incl. the dbias accumulation) is 0.
+    r = b // nw
+    wb, nwp = _block_b_with_pad(nw, 8)
+    if nwp != nw:
+        mask_f = _pad_axis0(mask_f, nwp)
+        q, k, v, g = (_pad_period(x, r, nw, nwp) for x in (q, k, v, g))
+    b_p = r * nwp
+    grid = (b_p // wb,)
     qspec = pl.BlockSpec((wb, tq, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     kspec = pl.BlockSpec((wb, tk, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     bspec = pl.BlockSpec((num_heads, tq, tk), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM)
-    nwb = nw // wb
+    nwb = nwp // wb
     mspec = pl.BlockSpec((wb, tq, tk), lambda i: (i % nwb, 0, 0),
-                         memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec((wb, tq, tk), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     hd = c // num_heads
     flops_step = 2 * tq * tk * hd * 5 * wb * num_heads
-    dq, dk, dv, dbias, ds_sum = pl.pallas_call(
+    dq, dk, dv, dbias = pl.pallas_call(
         functools.partial(_attn_kernel_packed_masked_bwd, scale=scale,
                           num_heads=num_heads),
         grid=grid,
         in_specs=[qspec, kspec, kspec, bspec, mspec, qspec],
-        out_specs=[qspec, kspec, kspec, bspec, sspec],
-        out_shape=[jax.ShapeDtypeStruct((b, tq, c), q.dtype),
-                   jax.ShapeDtypeStruct((b, tk, c), k.dtype),
-                   jax.ShapeDtypeStruct((b, tk, c), v.dtype),
-                   jax.ShapeDtypeStruct((num_heads, tq, tk), jnp.float32),
-                   jax.ShapeDtypeStruct((b, tq, tk), jnp.float32)],
+        out_specs=[qspec, kspec, kspec, bspec],
+        out_shape=[jax.ShapeDtypeStruct((b_p, tq, c), q.dtype),
+                   jax.ShapeDtypeStruct((b_p, tk, c), k.dtype),
+                   jax.ShapeDtypeStruct((b_p, tk, c), v.dtype),
+                   jax.ShapeDtypeStruct((num_heads, tq, tk), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=flops_step * (b // wb),
+            flops=flops_step * (b_p // wb),
             bytes_accessed=4 * (q.size + k.size + v.size) * q.dtype.itemsize,
-            transcendentals=b * num_heads * tq * tk),
+            transcendentals=b_p * num_heads * tq * tk),
         interpret=_interpret(),
     )(q, k, v, bias_arr, mask_f, g)
-    dmask = ds_sum.reshape(b // nw, nw, tq, tk).sum(0).astype(mask.dtype)
+    if nwp != nw:
+        unpad = lambda x, t: x.reshape(r, nwp, t, c)[:, :nw].reshape(
+            b, t, c)
+        dq, dk, dv = unpad(dq, tq), unpad(dk, tk), unpad(dv, tk)
     dbias = None if bias is None else dbias.astype(bias.dtype)
-    return dq, dk, dv, dbias, dmask
+    # dmask: the SW-MSA mask is a non-trainable constant at every call
+    # site (SwinIR/HAT shift patterns) — return a symbolic zero instead
+    # of materializing a (B, Tq, Tk) ds-sum in HBM each step.
+    return dq, dk, dv, dbias, jnp.zeros_like(mask)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))

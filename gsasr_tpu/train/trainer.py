@@ -60,6 +60,12 @@ class TrainConfig:
     # optional SSIM loss term (reference `gsasr_model.py:227-242`:
     # l_total = L1 + ssim_weight * (1 - SSIM)); 0 disables it.
     ssim_weight: float = 0.0
+    # base seed for stochastic layers (droppath); threads the reference's
+    # `manual_seed` into the per-step rng stream so seed-variation studies
+    # draw different stochastic-depth masks. No host-id folding: the step
+    # is one jit-global SPMD computation, so the key must be identical
+    # across processes; per-sample decorrelation comes from the batch axis.
+    seed: int = 0
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -189,8 +195,9 @@ class Trainer:
     def _step_impl(self, state: TrainState, batch):
         cfg = self.cfg
         params = {"g": state.params_g, "d": state.params_d}
-        # per-step droppath stream, deterministic in the step counter
-        rng = jax.random.fold_in(jax.random.PRNGKey(17), state.step)
+        # per-step droppath stream, deterministic in (manual_seed, step)
+        rng = jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(17), cfg.seed), state.step)
         (loss, metrics), grads = jax.value_and_grad(
             self._loss_fn, has_aux=True)(params, batch, rng)
 

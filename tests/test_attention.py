@@ -330,11 +330,53 @@ def test_packed_masked_forward_and_grads(rng):
         return jnp.sum(w * _attention_packed_reference_masked(
             q_, k_, v_, b_, m_, hd ** -0.5, nh))
 
-    # incl. dmask: the Pallas backward emits per-window ds sums reduced
-    # over the batch repeat — must match d/dmask of the broadcast einsum.
     gf = jax.grad(loss_fused, (0, 1, 2, 3, 4))(q, k, v, bias, mask)
-    gr = jax.grad(loss_ref, (0, 1, 2, 3, 4))(q, k, v, bias, mask)
-    for a, b_, name in zip(gf, gr, "qkvbm"):
+    gr = jax.grad(loss_ref, (0, 1, 2, 3))(q, k, v, bias, mask)
+    for a, b_, name in zip(gf, gr, "qkvb"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"grad {name}")
+    # dmask contract: the SW-MSA mask is a non-trainable constant at every
+    # call site, so the fused VJP returns a symbolic zero cotangent rather
+    # than spending HBM traffic on per-window ds sums (ADVICE r3).
+    np.testing.assert_array_equal(np.asarray(gf[4]),
+                                  np.zeros_like(np.asarray(mask)))
+
+
+def test_packed_masked_prime_window_count_pad_fallback(rng):
+    """A prime window-class count (nw=13 > the block target 8) must take
+    the pad fallback rather than a block-1 grid: fwd + grads still match
+    the broadcast reference (ADVICE r3)."""
+    from gsasr_tpu.ops.attention import (window_attention_packed,
+                                         _attention_packed_reference_masked)
+
+    b_img, nw, nh, t, hd = 2, 13, 2, 8, 8
+    b, c = b_img * nw, nh * hd
+    q, k, v = (_rand((b, t, c), i) for i in range(3))
+    bias = _rand((nh, t, t), 3)
+    mask = jnp.asarray(np.where(
+        np.random.default_rng(4).random((nw, t, t)) > 0.5, -100.0, 0.0)
+        .astype(np.float32))
+    out = window_attention_packed(q, k, v, bias, num_heads=nh,
+                                  window_mask=mask)
+    ref = _attention_packed_reference_masked(q, k, v, bias, mask,
+                                             hd ** -0.5, nh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    w = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+
+    def loss_fused(q_, k_, v_, b_):
+        return jnp.sum(w * window_attention_packed(
+            q_, k_, v_, b_, num_heads=nh, window_mask=mask))
+
+    def loss_ref(q_, k_, v_, b_):
+        return jnp.sum(w * _attention_packed_reference_masked(
+            q_, k_, v_, b_, mask, hd ** -0.5, nh))
+
+    gf = jax.grad(loss_fused, (0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(loss_ref, (0, 1, 2, 3))(q, k, v, bias)
+    for a, b_, name in zip(gf, gr, "qkvb"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-4,
                                    err_msg=f"grad {name}")
