@@ -9,23 +9,36 @@ JAX default precision = bf16 multiply / fp32 accumulate, the TPU analog of
 the A100's TF32 conv path the reference rides).
 
 Prints ONE JSON line with the driver fields (metric/value/unit/
-vs_baseline) plus the anchoring fields of the reference protocol
-(`inference_paper_benchmark.py:127-156`):
-  hr_pixels_per_s   — 720^2 / wall-time
-  peak_mem_bytes    — runtime memory_stats when exposed, else the
-                      compiled executables' memory analysis (argument +
-                      temp + output allocation of the largest stage)
-  roofline_frac     — achieved matmul FLOP/s over the chip's bf16 peak
-                      (device-kind table; null when the kind is unknown)
-  weights           — 'init' or 'trained' (set GSASR_BENCH_CKPT to an
-                      orbax step dir to bench trained weights)
+vs_baseline) plus resolvability fields (VERDICT r3 #4):
+  value / e2e_iqr_ms — median and [q1, q3] of the timed e2e runs; the
+                      tunnel's ±15-20% single-run noise makes a bare
+                      median unresolvable across rounds, the IQR says
+                      whether a cross-round delta means anything
+  null_ms/encoder_ms/decoder_ms/render_ms — per-stage medians (each timed
+                      separately with hard host syncs; null = dispatch +
+                      scalar transfer, the constant tunnel round-trip
+                      baked into every stage number)
+  render_walk_bound_frac — the per-tile-EXACT-list VPU bound for this
+                      workload's actual cull boxes (tile-quantized true
+                      overlap volume x ~24 VPU ops/elem / VPU peak)
+                      divided by net render time: ->1 means the kernel
+                      walks ~its structural floor
+  decoder_mem_bound_frac — compiled bytes-accessed / HBM bandwidth,
+                      divided by net decoder time: ->1 means the stage
+                      runs at the memory bound
+  (these replace the r3 `roofline_frac`, which divided matmul FLOPs by
+  MXU peak on a VPU/copy-bound workload — structurally uninformative)
+  peak_mem_bytes    — runtime memory_stats when exposed, else compiled
+                      memory analysis of the largest stage
+  weights / ckpt    — 'init' or 'trained' + WHICH checkpoint was used
+                      (auto-detect prefers experiments matching the
+                      benched EDSR config; ADVICE r3)
   baseline          — 'estimate': vs_baseline divides a 250 ms A100
                       estimate for this workload (the repo ships no
                       measured A100 number; the paper's compute figure
                       reads ~0.2-0.3 s)
 
-Per-stage breakdowns live in scripts/profile_stages.py; BENCH_NOTES.md
-carries the history.
+BENCH_NOTES.md carries the history and the A/B tables.
 """
 
 import json
@@ -38,17 +51,52 @@ import numpy as np
 
 BASELINE_MS = 250.0  # estimated A100 reference total (see module docstring)
 
-# bf16 MXU peak FLOP/s per chip by device kind (public spec sheets).
-PEAK_BF16 = {
-    "TPU v4": 275e12,
-    "TPU v5e": 197e12,
-    "TPU v5 lite": 197e12,
-    "TPU v5p": 459e12,
-    "TPU v5": 459e12,
-    "TPU v6e": 918e12,
-    "TPU v6 lite": 918e12,
-    "TPU7x": 2307e12,
+# Per-chip structural peaks by device kind (public spec sheets).
+PEAK_HBM_BPS = {
+    "TPU v4": 1228e9,
+    "TPU v5e": 819e9,
+    "TPU v5 lite": 819e9,
+    "TPU v5p": 2765e9,
+    "TPU v6e": 1640e9,
+    "TPU v6 lite": 1640e9,
 }
+PEAK_VPU_OPS = {
+    "TPU v5e": 3.8e12,
+    "TPU v5 lite": 3.8e12,
+}
+# VPU ops per walked (pixel, gaussian) element of the forward kernel body
+# (quad form + exp + mask; BENCH_NOTES roofline section).
+_OPS_PER_ELEM = 24.0
+
+
+def _median_iqr(ts):
+    q1, med, q3 = np.percentile(ts, [25, 50, 75])
+    return float(med), [round(float(q1) * 1e3, 2), round(float(q3) * 1e3, 2)]
+
+
+def _timed(fn, *args, reps=9, discard=2, sync=None):
+    out = fn(*args)
+    sync(out)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        sync(out)
+        ts.append(time.perf_counter() - t0)
+    return ts[discard:], out
+
+
+def _find_ckpt():
+    """Auto-detect a trained checkpoint from this round's runs. Prefers
+    experiment dirs whose name mentions the benched encoder (edsr) so a
+    stray run of another config can't be silently loaded (ADVICE r3);
+    highest finalized (digit-named) step wins."""
+    import glob
+    cands = [p for p in glob.glob("experiments/*/checkpoints/*")
+             if os.path.isdir(p) and os.path.basename(p).isdigit()]
+    pref = [p for p in cands if "edsr" in p.lower()]
+    pool = pref or cands
+    return max(pool, key=lambda p: int(os.path.basename(p)), default=None)
 
 
 def main():
@@ -65,17 +113,7 @@ def main():
     lq = jnp.asarray(np.random.default_rng(0).random(
         (1, lr_size, lr_size, 3), dtype=np.float32))
 
-    ckpt = os.environ.get("GSASR_BENCH_CKPT")
-    if not ckpt:
-        # auto-detect the round's training run (experiments/ is untracked;
-        # present only when a run happened in this workspace). Only
-        # finalized step dirs count: digit-named directories, highest step
-        # wins — in-progress orbax tmp dirs and stray files are skipped.
-        import glob
-        cands = [p for p in glob.glob("experiments/*/checkpoints/*")
-                 if os.path.isdir(p) and os.path.basename(p).isdigit()]
-        ckpt = max(cands, key=lambda p: int(os.path.basename(p)),
-                   default=None)
+    ckpt = os.environ.get("GSASR_BENCH_CKPT") or _find_ckpt()
     if ckpt and os.path.isdir(ckpt):
         from gsasr_tpu.utils.checkpoint import load_eval_params
         enc_params, dec_params = load_eval_params(ckpt)
@@ -83,6 +121,7 @@ def main():
         dec_params = jax.device_put(dec_params)
         weights = "trained"
     else:
+        ckpt = None
         enc_params = enc.init(rng, jnp.zeros((1, 12, 12, 3)))["params"]
         dec_params = dec.init(rng, jnp.zeros((1, 12, 12, 64)),
                               jnp.ones((1,)))["params"]
@@ -90,10 +129,11 @@ def main():
 
     enc_fn = _jitted_apply(enc)
     dec_fn = _jitted_apply(dec)
+    scales = jnp.full((1,), scale, jnp.float32)
 
     def forward(enc_params, dec_params, lq):
         feat = enc_fn(enc_params, lq)
-        gs = dec_fn(dec_params, feat, jnp.ones((1,), jnp.float32) * scale)
+        gs = dec_fn(dec_params, feat, scales)
         return render_one(gs[0])
 
     @jax.jit
@@ -101,59 +141,99 @@ def main():
         return render_gaussians(sr, g, jnp.float32(scale),
                                 dmax_mode="fix", dmax=0.1)
 
-    csum = jax.jit(jnp.sum)
-    out = forward(enc_params, dec_params, lq)
-    float(csum(out))  # compile + warmup, host-synced
+    csum = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
 
-    times = []
-    for _ in range(7):
-        t0 = time.perf_counter()
-        out = forward(enc_params, dec_params, lq)
-        float(csum(out))  # hard host sync — block_until_ready alone proved
-                          # unreliable through the remote tunnel
-        times.append(time.perf_counter() - t0)
-    times = times[2:]  # discard first 2 (inference_paper_benchmark.py:169)
-    dt = float(np.median(times))
+    def sync(out):
+        # hard host sync — block_until_ready alone proved unreliable
+        # through the remote tunnel
+        float(csum(jax.tree_util.tree_leaves(out)[0]))
+
+    # -- e2e --------------------------------------------------------------
+    ts, _ = _timed(lambda: forward(enc_params, dec_params, lq),
+                   reps=7, discard=2, sync=sync)
+    dt, e2e_iqr = _median_iqr(ts)
     ms = dt * 1e3
 
-    # -- anchoring fields ---------------------------------------------------
+    # -- per-stage --------------------------------------------------------
+    tiny = jnp.zeros((8, 128), jnp.float32)
+    t_null, _ = _timed(jax.jit(lambda x: x + 1), tiny, sync=sync)
+    null_ms, null_iqr = _median_iqr(t_null)
+    t_enc, feat = _timed(enc_fn, enc_params, lq, sync=sync)
+    enc_ms, enc_iqr = _median_iqr(t_enc)
+    t_dec, gs = _timed(lambda f: dec_fn(dec_params, f, scales), feat,
+                       sync=sync)
+    dec_ms, dec_iqr = _median_iqr(t_dec)
+    t_ren, _ = _timed(render_one, gs[0], sync=sync)
+    ren_ms, ren_iqr = _median_iqr(t_ren)
+
+    # -- structural bounds ------------------------------------------------
     dev = jax.local_devices()[0]
-    stats = dev.memory_stats() or {}
-    peak_mem = stats.get("peak_bytes_in_use")
-    flops = 0.0
+    kind = str(getattr(dev, "device_kind", ""))
+    hbm = next((v for k, v in PEAK_HBM_BPS.items() if k in kind), None)
+    vpu = next((v for k, v in PEAK_VPU_OPS.items() if k in kind), None)
+
+    render_bound_frac = None
+    if vpu:
+        try:
+            from gsasr_tpu.ops.rasterizer import pack_geometry
+            from gsasr_tpu.rendering import prepare_kernel_inputs
+            sg, kc, _, fdmax, _ = prepare_kernel_inputs(
+                sr, gs[0], jnp.float32(scale), dmax_mode="fix", dmax=0.1)
+            gm = np.asarray(pack_geometry(sg, kc, sr, fdmax))
+            xlo = np.clip(gm[:, 5], 0, sr[1] - 1)
+            xhi = np.clip(gm[:, 6], 0, sr[1] - 1)
+            ylo = np.clip(gm[:, 7], 0, sr[0] - 1)
+            yhi = np.clip(gm[:, 8], 0, sr[0] - 1)
+            vis = (gm[:, 5] <= sr[1] - 1) & (gm[:, 6] >= 0) & \
+                  (gm[:, 7] <= sr[0] - 1) & (gm[:, 8] >= 0) & \
+                  (gm[:, 6] >= gm[:, 5]) & (gm[:, 8] >= gm[:, 7])
+            th, tw = 8, 128  # binned-forward tile floor (min sublane x lane)
+            tiles = ((yhi // th - ylo // th + 1)
+                     * (xhi // tw - xlo // tw + 1))[vis]
+            bound_s = float(tiles.sum()) * th * tw * _OPS_PER_ELEM / vpu
+            net = max((ren_ms - null_ms) * 1e-3, 1e-9)
+            render_bound_frac = round(bound_s / net, 4)
+        except Exception:
+            pass
+
+    decoder_bound_frac = None
+    peak_mem = (dev.memory_stats() or {}).get("peak_bytes_in_use")
     mem_est = 0
     try:
-        feat = enc_fn(enc_params, lq)
-        for tr in (enc_fn.lower(enc_params, lq),
-                   dec_fn.lower(dec_params, feat,
-                                jnp.ones((1,), jnp.float32)),
-                   ):
-            comp = tr.compile()
-            ca = comp.cost_analysis() or {}
-            flops += float(ca.get("flops", 0.0))
-            ma = comp.memory_analysis()
-            if ma is not None:
-                mem_est = max(mem_est, ma.argument_size_in_bytes
-                              + ma.temp_size_in_bytes
-                              + ma.output_size_in_bytes)
+        comp = dec_fn.lower(dec_params, feat, scales).compile()
+        ca = comp.cost_analysis() or {}
+        dec_bytes = float(ca.get("bytes accessed", 0.0))
+        ma = comp.memory_analysis()
+        if ma is not None:
+            mem_est = max(mem_est, ma.argument_size_in_bytes
+                          + ma.temp_size_in_bytes + ma.output_size_in_bytes)
+        if hbm and dec_bytes:
+            net = max((dec_ms - null_ms) * 1e-3, 1e-9)
+            decoder_bound_frac = round(dec_bytes / hbm / net, 4)
     except Exception:
         pass
     if peak_mem is None and mem_est:
         peak_mem = mem_est
-    kind = getattr(dev, "device_kind", "")
-    peak = next((v for k, v in PEAK_BF16.items() if k in str(kind)), None)
-    roofline = (flops / dt / peak) if (peak and flops) else None
 
     print(json.dumps({
         "metric": "edsr_gsasr_x4_720sq_e2e_inference",
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / ms, 3),
+        "e2e_iqr_ms": e2e_iqr,
+        "null_ms": round(null_ms * 1e3, 2),
+        "encoder_ms": round(enc_ms * 1e3, 2),
+        "decoder_ms": round(dec_ms * 1e3, 2),
+        "render_ms": round(ren_ms * 1e3, 2),
+        "stage_iqr_ms": {"null": null_iqr, "encoder": enc_iqr,
+                         "decoder": dec_iqr, "render": ren_iqr},
+        "render_walk_bound_frac": render_bound_frac,
+        "decoder_mem_bound_frac": decoder_bound_frac,
         "hr_pixels_per_s": round(sr[0] * sr[1] / dt),
         "peak_mem_bytes": peak_mem,
-        "roofline_frac": round(roofline, 4) if roofline else None,
-        "device_kind": str(kind),
+        "device_kind": kind,
         "weights": weights,
+        "ckpt": ckpt,
         "baseline": "estimate",
     }))
 

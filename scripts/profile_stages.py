@@ -59,7 +59,13 @@ def main():
 
     mode = os.environ.get("GSASR_ATTN", "fused")
     enc_name = os.environ.get("GSASR_PROF_ENC", "edsr")  # edsr|rdn|swinir|hat
-    enc, dec = make_models(enc_name)
+    # GSASR_PROF_DTYPE=bfloat16 A/Bs the bf16-compute model family (fp32
+    # params, fp32 softmax, fp32 render boundary — the AMP_test inference
+    # recipe) against the default fp32 path, per stage.
+    dt_name = os.environ.get("GSASR_PROF_DTYPE", "float32")
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+             "bf16": jnp.bfloat16}[dt_name]
+    enc, dec = make_models(enc_name, dtype=dtype)
     rng = jax.random.PRNGKey(0)
     lr_size, scale = 180, 4.0
     lq = jnp.asarray(np.random.default_rng(0).random(
@@ -90,6 +96,7 @@ def main():
     stats = dev.memory_stats() or {}
     print(json.dumps({
         "attn_mode": mode,
+        "dtype": dt_name,
         "encoder": enc_name,
         "null_ms": round(null_ms, 2),
         "encoder_ms": round(enc_ms, 2),
