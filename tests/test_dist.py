@@ -1,26 +1,207 @@
-"""Multi-process distributed rendezvous smoke (VERDICT r2 ask #8).
+"""Multi-process distributed tests (VERDICT r2 ask #8, r3 ask #6).
 
-Launches TWO real OS processes that rendezvous via
-`jax.distributed.initialize` (CPU backend, coordinator env vars — the JAX
-equivalent of the reference's `init_dist` pytorch launcher,
-`basicsr/utils/dist_util.py:11-64`), run `cli/train.py --multihost` on a
-tiny config, and must agree: replicated state means both processes log
-identical loss sequences, and both exit 0 with a coordinated orbax
-checkpoint written.
+Covers, as separate asserts rather than one monolithic smoke:
+- EnlargedSampler shard semantics with uneven remainders (pure-function
+  unit tests of `epoch_indices`, reference `data_sampler.py:29-42`);
+- a 4-process CPU rendezvous (`jax.distributed.initialize`, the JAX
+  equivalent of the reference's `init_dist` pytorch launcher,
+  `basicsr/utils/dist_util.py:11-64`) building a global array from
+  disjoint per-host shards, running a cross-host collective reduction,
+  and writing ONE coordinated orbax checkpoint;
+- a 2-process end-to-end training smoke (`cli/train.py --multihost`) on a
+  self-generated tiny dataset, with rendezvous / loss / checkpoint
+  asserts split into targeted tests over one shared launch.
 """
 
+import json
 import os
 import re
-
-import numpy as np
 import socket
 import subprocess
 import sys
 from pathlib import Path
 
+import numpy as np
 import pytest
 
 REPO = Path(__file__).parent.parent
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _child_env(pid: int, nprocs: int, port: int):
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",  # disable the axon TPU plugin
+        "XLA_FLAGS": "",  # 1 CPU device per process (no virtual fanout)
+        "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+        "JAX_NUM_PROCESSES": str(nprocs),
+        "JAX_PROCESS_ID": str(pid),
+        "PYTHONPATH": f"{REPO}:{env.get('PYTHONPATH', '')}",
+    })
+    return env
+
+
+# ---------------------------------------------------------------------------
+# EnlargedSampler semantics (unit)
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_indices_uneven_remainder_partitions_epoch():
+    """n=10, ratio=3 over 4 shards: 30 draws pad to 32, every shard gets 8,
+    the shards partition the padded permutation (each draw consumed by
+    exactly one host — the reference's `indices[rank::world]` slicing)."""
+    from gsasr_tpu.data.datasets import epoch_indices
+
+    n, ratio, ws = 10, 3, 4
+    shards = [epoch_indices(n, epoch=5, seed=3, enlarge_ratio=ratio,
+                            num_shards=ws, shard=r) for r in range(ws)]
+    assert all(len(s) == 8 for s in shards)
+
+    # reconstruct the padded permutation the slices came from
+    g = np.random.default_rng(3 + 5)
+    idx = g.permutation(n * ratio) % n
+    idx = np.concatenate([idx, idx[:2]])  # pad 30 -> 32
+    for r in range(ws):
+        np.testing.assert_array_equal(shards[r], idx[r::ws])
+
+    # the epoch covers the whole dataset across hosts
+    assert set(np.concatenate(shards).tolist()) == set(range(n))
+
+
+def test_epoch_indices_same_position_rows_disjoint():
+    """Within any global batch row, the samples the hosts consume are
+    distinct draws of the permutation: with ratio*n a multiple of world
+    size and ratio=1, position j across shards = permutation[4j:4j+4],
+    which are 4 distinct dataset items."""
+    from gsasr_tpu.data.datasets import epoch_indices
+
+    n, ws = 16, 4
+    shards = [epoch_indices(n, epoch=0, seed=0, enlarge_ratio=1,
+                            num_shards=ws, shard=r) for r in range(ws)]
+    for j in range(len(shards[0])):
+        row = [int(s[j]) for s in shards]
+        assert len(set(row)) == ws, f"row {j} not disjoint: {row}"
+
+
+def test_epoch_indices_deterministic_and_epoch_varying():
+    from gsasr_tpu.data.datasets import epoch_indices
+
+    a = epoch_indices(10, epoch=1, seed=7, enlarge_ratio=2, num_shards=2,
+                      shard=1)
+    b = epoch_indices(10, epoch=1, seed=7, enlarge_ratio=2, num_shards=2,
+                      shard=1)
+    np.testing.assert_array_equal(a, b)
+    c = epoch_indices(10, epoch=2, seed=7, enlarge_ratio=2, num_shards=2,
+                      shard=1)
+    assert not np.array_equal(a, c)
+
+
+# ---------------------------------------------------------------------------
+# 4-process rendezvous + collective + coordinated save
+# ---------------------------------------------------------------------------
+
+_WORKER = """\
+import json, os, sys
+import numpy as np
+
+pid = int(os.environ["JAX_PROCESS_ID"])
+import jax
+jax.distributed.initialize(
+    coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+    num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+    process_id=pid)
+assert jax.process_count() == 4
+assert jax.device_count() == 4
+
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from gsasr_tpu.data.datasets import epoch_indices
+
+# uneven remainder: 10 items x ratio 3 = 30 draws -> pad to 32, 8/host
+idx = epoch_indices(10, epoch=0, seed=3, enlarge_ratio=3, num_shards=4,
+                    shard=pid)
+print("IDX", pid, json.dumps([int(i) for i in idx]), flush=True)
+
+mesh = Mesh(np.array(jax.devices()).reshape(4), ("data",))
+local = np.asarray(idx, np.float32)[:, None]
+garr = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data")), local)
+assert garr.shape == (32, 1), garr.shape
+
+total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(garr)
+print("SUM", pid, float(total), flush=True)
+
+import orbax.checkpoint as ocp
+ck = ocp.StandardCheckpointer()
+ck.save(os.path.join(sys.argv[1], "7"), {"idx": garr}, force=True)
+ck.wait_until_finished()
+print("SAVED", pid, flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_dist_four_procs_uneven_shards(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    ckdir = tmp_path / "ck"
+    ckdir.mkdir()
+
+    port = _free_port()
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(ckdir)],
+        env=_child_env(pid, 4, port), cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(4)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
+
+    # [shards] every host derived its own slice consistently and the
+    # slices partition the padded permutation
+    from gsasr_tpu.data.datasets import epoch_indices
+    shards = {}
+    for out in outs:
+        for m in re.finditer(r"IDX (\d+) (\[.*?\])", out):
+            shards[int(m.group(1))] = json.loads(m.group(2))
+    assert sorted(shards) == [0, 1, 2, 3]
+    for r in range(4):
+        np.testing.assert_array_equal(
+            shards[r],
+            epoch_indices(10, epoch=0, seed=3, enlarge_ratio=3,
+                          num_shards=4, shard=r))
+
+    # [collective] the global reduction saw all four hosts' data
+    expect = float(sum(sum(s) for s in shards.values()))
+    sums = [float(m.group(2)) for out in outs
+            for m in re.finditer(r"SUM (\d+) ([0-9.eE+-]+)", out)]
+    assert len(sums) == 4 and all(s == expect for s in sums), (sums, expect)
+
+    # [coordinated save] one orbax checkpoint, all processes participated
+    assert all("SAVED" in out for out in outs)
+    step_dir = ckdir / "7"
+    assert step_dir.is_dir(), list(ckdir.iterdir())
+    assert (step_dir / "_CHECKPOINT_METADATA").exists()
+
+
+# ---------------------------------------------------------------------------
+# 2-process end-to-end training smoke (shared launch, split asserts)
+# ---------------------------------------------------------------------------
 
 CFG = """\
 name: dist_smoke
@@ -73,43 +254,32 @@ path:
 """
 
 
-def _free_port():
-    s = socket.socket()
-    s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
+@pytest.fixture(scope="module")
+def train_smoke(tmp_path_factory):
+    """Launch the 2-process training smoke ONCE; the tests below assert
+    its separate properties (a self-generated dataset removes the old
+    dependency on a prebuilt corpus, which silently skipped the test
+    when datasets/ was reset)."""
+    tmp = tmp_path_factory.mktemp("dist_smoke")
+    gt_dir = tmp / "gt"
+    gt_dir.mkdir()
+    import cv2
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        img = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(gt_dir / f"im{i}.png"), img)
 
-
-@pytest.mark.slow
-def test_dist_rendezvous_two_procs(tmp_path):
-    gt_dir = str(REPO / "datasets" / "train_sub")
-    if not os.path.isdir(gt_dir):
-        pytest.skip("no training images in datasets/train_sub")
-
-    cfg_path = tmp_path / "opt.yml"
-    cfg_path.write_text(CFG.format(gt_dir=gt_dir,
-                                   exp_dir=str(tmp_path / "exp")))
+    cfg_path = tmp / "opt.yml"
+    exp_dir = tmp / "exp"
+    cfg_path.write_text(CFG.format(gt_dir=gt_dir, exp_dir=exp_dir))
 
     port = _free_port()
-    procs = []
-    for pid in range(2):
-        env = dict(os.environ)
-        env.update({
-            "JAX_PLATFORMS": "cpu",
-            "PALLAS_AXON_POOL_IPS": "",  # disable the axon TPU plugin
-            "XLA_FLAGS": "",  # 1 CPU device per process (no virtual fanout)
-            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
-            "JAX_NUM_PROCESSES": "2",
-            "JAX_PROCESS_ID": str(pid),
-            "PYTHONPATH": f"{REPO}:{env.get('PYTHONPATH', '')}",
-        })
-        procs.append(subprocess.Popen(
-            [sys.executable, "-m", "gsasr_tpu.cli.train",
-             "-opt", str(cfg_path), "--multihost"],
-            env=env, cwd=REPO, stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT, text=True))
-
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "gsasr_tpu.cli.train",
+         "-opt", str(cfg_path), "--multihost"],
+        env=_child_env(pid, 2, port), cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)]
     outs = []
     for p in procs:
         try:
@@ -119,21 +289,34 @@ def test_dist_rendezvous_two_procs(tmp_path):
                 q.kill()
             raise
         outs.append(out)
+    return procs, outs, exp_dir
 
+
+@pytest.mark.slow
+def test_dist_train_rendezvous(train_smoke):
+    procs, outs, _ = train_smoke
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
 
+
+@pytest.mark.slow
+def test_dist_train_losses_finite(train_smoke):
     # The step is one SPMD program over the global 2-device mesh: the loss
     # both processes compute IS the same replicated array (the property
     # DDP's all-reduce approximates in the reference). The root logger is
     # rank-aware (host 0 only), so assert host 0 logged finite losses for
     # every iter.
-    loss_re = re.compile(r"l_pix: ([0-9.eE+-]+)")
-    losses = [float(v) for v in loss_re.findall(outs[0])]
+    _, outs, _ = train_smoke
+    losses = [float(v)
+              for v in re.findall(r"l_pix: ([0-9.eE+-]+)", outs[0])]
     assert len(losses) >= 3, f"no losses logged:\n{outs[0][-4000:]}"
     assert all(np.isfinite(losses)), losses
+    # ...and host 1 did NOT double-log (rank-aware logging)
+    assert not re.findall(r"l_pix: ", outs[1])
 
-    # Coordinated final checkpoint exists (orbax writes once, all procs
-    # participate).
-    ckpts = list((tmp_path / "exp" / "checkpoints").glob("*"))
+
+@pytest.mark.slow
+def test_dist_train_coordinated_checkpoint(train_smoke):
+    _, _, exp_dir = train_smoke
+    ckpts = list((exp_dir / "checkpoints").glob("*"))
     assert any(c.name.isdigit() for c in ckpts), ckpts
