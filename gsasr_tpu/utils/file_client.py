@@ -1,8 +1,10 @@
 """File IO backends — equivalent of `basicsr/utils/file_client.py`.
 
 Disk backend is always available; the lmdb backend mirrors BasicSR's
-(env per db, keys are image stems) and is gated on the optional `lmdb`
-package (absent in this image). Memcached is intentionally unsupported.
+(env per db, keys are image stems), using the optional `lmdb` package
+when present and the pure-Python `gsasr_tpu.utils.mini_lmdb` reader of
+the same on-disk format otherwise. Memcached is intentionally
+unsupported.
 """
 
 from __future__ import annotations
@@ -22,10 +24,8 @@ class LmdbBackend:
                  lock=False, readahead=False):
         try:
             import lmdb
-        except ImportError as e:
-            raise ImportError(
-                "the lmdb backend requires the optional 'lmdb' package, "
-                "which is not installed in this environment") from e
+        except ImportError:
+            from gsasr_tpu.utils import mini_lmdb as lmdb
         if isinstance(client_keys, str):
             client_keys = [client_keys]
         if isinstance(db_paths, (str, Path)):
