@@ -130,6 +130,84 @@ def multiscale(src: str, dst: str = None, shortest_edge: int = 512,
     print(f"wrote {n} multiscale images to {dst}")
 
 
+def synthetic(dst: str, n: int = 400, size: int = 256, seed: int = 0,
+              palette_src: str = None, workers: int = 2):
+    """Dead-leaves synthetic training images (occlusion model with a
+    power-law radius distribution) — a standard regularity prior for
+    restoration training when natural data is scarce (scale-invariant
+    statistics, sharp occlusion edges at all orientations/scales; see
+    e.g. Achddou et al., "Synthetic images as a regularity prior for
+    image restoration", SSVM 2021).
+
+    Rendered at 2x and Lanczos-downscaled for clean anti-aliased edges
+    (matching the mild PSF of the natural HR sources the dataset's
+    bicubic-LR pipeline assumes). Colors are drawn from the empirical
+    pixel distribution of `palette_src` images when given (keeps the
+    synthetic corpus' color statistics natural); else uniform RGB.
+    """
+    import cv2
+    import numpy as np
+
+    os.makedirs(dst, exist_ok=True)
+    palette = None
+    if palette_src and os.path.isdir(palette_src):
+        pix = []
+        for name in sorted(os.listdir(palette_src)):
+            img = _imread(Path(palette_src) / name)
+            if img is not None:
+                pix.append(img.reshape(-1, img.shape[-1])[::7])
+        if pix:
+            palette = np.concatenate(pix, axis=0)
+
+    ss = 2  # supersampling factor
+    big = size * ss
+
+    def one(i):
+        rng = np.random.default_rng(seed * 100003 + i)
+        canvas = np.zeros((big, big, 3), np.uint8)
+        covered = np.zeros((big, big), bool)
+        # power-law radii r^-3 on [rmin, rmax] via inverse-CDF sampling
+        rmin, rmax = 2.0 * ss, 0.4 * big
+        n_shapes = 4000
+        u = rng.random(n_shapes)
+        a = rmin ** -2
+        b = rmax ** -2
+        radii = (a - u * (a - b)) ** -0.5
+        xs = rng.integers(0, big, n_shapes)
+        ys = rng.integers(0, big, n_shapes)
+        if palette is not None:
+            cols = palette[rng.integers(0, len(palette), n_shapes)]
+        else:
+            cols = rng.integers(0, 256, (n_shapes, 3))
+        # front-to-back with an occupancy mask: equivalent to back-to-front
+        # painting but lets us stop as soon as the canvas is covered
+        yy, xx = np.mgrid[0:big, 0:big]
+        for k in range(n_shapes):
+            r = radii[k]
+            x0, x1 = max(0, int(xs[k] - r) - 1), min(big, int(xs[k] + r) + 2)
+            y0, y1 = max(0, int(ys[k] - r) - 1), min(big, int(ys[k] + r) + 2)
+            if x0 >= x1 or y0 >= y1:
+                continue
+            sub = ((xx[y0:y1, x0:x1] - xs[k]) ** 2
+                   + (yy[y0:y1, x0:x1] - ys[k]) ** 2) <= r * r
+            put = sub & ~covered[y0:y1, x0:x1]
+            if put.any():
+                canvas[y0:y1, x0:x1][put] = cols[k]
+                covered[y0:y1, x0:x1] |= sub
+            if k % 256 == 255 and covered.all():
+                break
+        if not covered.all():
+            canvas[~covered] = cols[0]
+        out = cv2.resize(canvas, (size, size),
+                         interpolation=cv2.INTER_LANCZOS4)
+        cv2.imwrite(str(Path(dst) / f"dl{i:05d}.png"), out)
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        list(pool.map(one, range(n)))
+    print(f"wrote {n} dead-leaves {size}^2 images to {dst}")
+
+
 def main():
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -157,6 +235,14 @@ def main():
     m.add_argument("--dst", default=None)
     m.add_argument("--shortest-edge", type=int, default=512)
 
+    y = sub.add_parser("synthetic")
+    y.add_argument("--dst", required=True)
+    y.add_argument("--n", type=int, default=400)
+    y.add_argument("--size", type=int, default=256)
+    y.add_argument("--seed", type=int, default=0)
+    y.add_argument("--palette-src", default=None)
+    y.add_argument("--workers", type=int, default=2)
+
     args = p.parse_args()
     if args.cmd == "extract-subimages":
         extract_subimages(args.src, args.dst, args.crop, args.step,
@@ -167,6 +253,9 @@ def main():
         test_crops(args.src, args.dst, args.size)
     elif args.cmd == "multiscale":
         multiscale(args.src, args.dst, args.shortest_edge)
+    elif args.cmd == "synthetic":
+        synthetic(args.dst, args.n, args.size, args.seed, args.palette_src,
+                  args.workers)
 
 
 if __name__ == "__main__":

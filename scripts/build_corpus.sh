@@ -1,15 +1,25 @@
 #!/usr/bin/env bash
-# Rebuild the in-env training corpus (datasets/ is gitignored and the
+# Rebuild the in-env training corpora (datasets/ is gitignored and the
 # workspace is reset between rounds). Produces:
-#   datasets/train_sub2  — 256^2 training sub-images (≈750) from the 7
-#                          natural source images available in-image,
-#                          expanded with a no-upscale Lanczos pyramid
+#   datasets/train_sub2  — the round-3 corpus (753 256^2 sub-images from
+#                          the 7 in-env natural sources + no-upscale
+#                          Lanczos pyramid). KEPT ONLY for reproducing the
+#                          r3/r4 A/B runs: round-4 analysis showed 73% of
+#                          it is crops of sampling.png — a paper DIAGRAM
+#                          (white background, blur blobs, mosaics, text)
+#                          — which skews training badly.
+#   datasets/train_sub3  — the round-4 corpus: 6 genuine natural sources
+#                          (sampling.png dropped) + Lanczos pyramid
+#                          (205 sub-images, duplicated x2 for sampling
+#                          weight) + 400 dead-leaves synthetic images
+#                          with colors drawn from the natural sources
+#                          (`prepare_data synthetic`).
 #   datasets/val/{gt,lrx4} — 4x 240^2 held-out 0892 crops + MATLAB-bicubic
-#                          x4 LR (the r3 config's val set)
+#                          x4 LR (the r3/r4 configs' val set)
 # Usage: bash scripts/build_corpus.sh   (from the repo root)
 set -euo pipefail
 
-mkdir -p datasets/src_train datasets/val_src
+mkdir -p datasets/src_train datasets/src6 datasets/val_src
 cp /root/reference/assets/0846x4.png /root/reference/assets/0873x4.png \
    /root/reference/assets/tree.png /root/reference/assets/sampling.png \
    datasets/src_train/
@@ -21,12 +31,34 @@ cp /opt/venv/lib/python3.12/site-packages/sklearn/datasets/images/china.jpg \
    datasets/src_train/china.jpg
 cp /root/reference/assets/0892x4.png datasets/val_src/
 
+# r3 corpus (reproduction only — see header)
 python -m gsasr_tpu.cli.prepare_data multiscale --src datasets/src_train \
     --dst datasets/src_train_ms --shortest-edge 256
 cp datasets/src_train/* datasets/src_train_ms/
 python -m gsasr_tpu.cli.prepare_data extract-subimages \
     --src datasets/src_train_ms --dst datasets/train_sub2 \
     --crop 256 --step 96
+
+# r4 corpus
+cp datasets/src_train/0846x4.png datasets/src_train/0873x4.png \
+   datasets/src_train/tree.png datasets/src_train/china.jpg \
+   datasets/src_train/flower.jpg datasets/src_train/grace_hopper.jpg \
+   datasets/src6/
+python -m gsasr_tpu.cli.prepare_data multiscale --src datasets/src6 \
+    --dst datasets/src6_ms --shortest-edge 256
+cp datasets/src6/* datasets/src6_ms/
+python -m gsasr_tpu.cli.prepare_data extract-subimages \
+    --src datasets/src6_ms --dst datasets/train_nat3 --crop 256 --step 96 \
+    --workers 2
+python -m gsasr_tpu.cli.prepare_data synthetic --dst datasets/train_dl3 \
+    --n 400 --palette-src datasets/src6 --workers 2
+mkdir -p datasets/train_sub3
+cp datasets/train_dl3/* datasets/train_sub3/
+for f in datasets/train_nat3/*; do
+    b=$(basename "$f")
+    cp "$f" "datasets/train_sub3/$b"
+    cp "$f" "datasets/train_sub3/dup_$b"
+done
 
 python - <<'EOF'
 import cv2, os, random
@@ -47,4 +79,5 @@ for i in range(4):
 print('val written:', sorted(os.listdir('datasets/val/gt')))
 EOF
 
-echo "corpus: $(ls datasets/train_sub2 | wc -l) train sub-images"
+echo "r3 corpus: $(ls datasets/train_sub2 | wc -l) sub-images (train_sub2)"
+echo "r4 corpus: $(ls datasets/train_sub3 | wc -l) sub-images (train_sub3)"
