@@ -94,6 +94,28 @@ def main():
 
     dev = jax.local_devices()[0]
     stats = dev.memory_stats() or {}
+
+    # Decoder memory-bound quantification (VERDICT r3 #2): compiled
+    # bytes-accessed over HBM bandwidth = the time a perfectly-overlapped
+    # memory-bound execution of the SAME HLO would take. This counts the
+    # bytes of every materialized buffer between fusions — the actual
+    # number the r3 "bounded by f32 activation traffic" claim needed.
+    dec_bytes = dec_flops = None
+    mem_bound_ms = None
+    try:
+        ca = (dec_fn.lower(dec_params, feat, scales).compile()
+              .cost_analysis() or {})
+        dec_bytes = float(ca.get("bytes accessed", 0.0)) or None
+        dec_flops = float(ca.get("flops", 0.0)) or None
+        hbm = {"TPU v5e": 819e9, "TPU v5 lite": 819e9,
+               "TPU v4": 1228e9, "TPU v6e": 1640e9}
+        bw = next((v for k, v in hbm.items()
+                   if k in str(getattr(dev, "device_kind", ""))), None)
+        if dec_bytes and bw:
+            mem_bound_ms = round(dec_bytes / bw * 1e3, 2)
+    except Exception:
+        pass
+
     print(json.dumps({
         "attn_mode": mode,
         "dtype": dt_name,
@@ -103,6 +125,9 @@ def main():
         "decoder_ms": round(dec_ms, 2),
         "render_ms": round(ren_ms, 2),
         "sum_ms": round(enc_ms + dec_ms + ren_ms, 2),
+        "decoder_bytes_accessed": dec_bytes,
+        "decoder_flops": dec_flops,
+        "decoder_mem_bound_ms": mem_bound_ms,
         "peak_mem_bytes": stats.get("peak_bytes_in_use"),
         "backend": jax.default_backend(),
     }))
