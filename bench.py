@@ -191,7 +191,7 @@ def main():
             tiles = ((yhi // th - ylo // th + 1)
                      * (xhi // tw - xlo // tw + 1))[vis]
             bound_s = float(tiles.sum()) * th * tw * _OPS_PER_ELEM / vpu
-            net = max((ren_ms - null_ms) * 1e-3, 1e-9)
+            net = max(ren_ms - null_ms, 1e-9)  # stage medians are seconds
             render_bound_frac = round(bound_s / net, 4)
         except Exception:
             pass
@@ -208,7 +208,7 @@ def main():
             mem_est = max(mem_est, ma.argument_size_in_bytes
                           + ma.temp_size_in_bytes + ma.output_size_in_bytes)
         if hbm and dec_bytes:
-            net = max((dec_ms - null_ms) * 1e-3, 1e-9)
+            net = max(dec_ms - null_ms, 1e-9)  # stage medians are seconds
             decoder_bound_frac = round(dec_bytes / hbm / net, 4)
     except Exception:
         pass
