@@ -376,6 +376,13 @@ class Fea2GS(nn.Module):
     shuffle_scale1: int = 2
     shuffle_scale2: int = 2
     dtype: Any = jnp.float32
+    # Keep the five Gaussian-parameter heads in fp32 even when the trunk
+    # runs bf16: head outputs (mu especially) quantize at bf16's ~2^-8
+    # relative step BEFORE the fp32 render boundary, which measured
+    # -1.1 to -1.4 dB at x4 (BENCH_NOTES round 4). The heads are tiny
+    # (5 x ch->4ch->out MLPs on the lattice), so the cost is noise.
+    # False reproduces the reference autocast's all-bf16 behavior.
+    fp32_heads: bool = True
 
     @nn.compact
     def __call__(self, srcs, scale):
@@ -438,15 +445,16 @@ class Fea2GS(nn.Module):
         query = pixel_shuffle(query, self.shuffle_scale2)
 
         guf = int(self.gs_up_factor)
-        q_sigma = HeadMLP(ch, 2 * guf, dtype=self.dtype,
+        hdt = jnp.float32 if self.fp32_heads else self.dtype
+        q_sigma = HeadMLP(ch, 2 * guf, dtype=hdt,
                           name="mlp_block_sigma")(query).reshape(b, -1, 2)
-        q_rho = HeadMLP(ch, 1 * guf, dtype=self.dtype,
+        q_rho = HeadMLP(ch, 1 * guf, dtype=hdt,
                         name="mlp_block_rho")(query).reshape(b, -1, 1)
-        q_alpha = HeadMLP(ch, 1 * guf, dtype=self.dtype,
+        q_alpha = HeadMLP(ch, 1 * guf, dtype=hdt,
                           name="mlp_block_alpha")(query).reshape(b, -1, 1)
-        q_rgb = HeadMLP(ch, 3 * guf, dtype=self.dtype,
+        q_rgb = HeadMLP(ch, 3 * guf, dtype=hdt,
                         name="mlp_block_rgb")(query).reshape(b, -1, 3)
-        q_mean = HeadMLP(ch, 2 * guf, dtype=self.dtype,
+        q_mean = HeadMLP(ch, 2 * guf, dtype=hdt,
                          name="mlp_block_mean")(query).reshape(b, -1, 2)
 
         lat_h = nsq * h_count * self.shuffle_scale1 * self.shuffle_scale2

@@ -353,6 +353,9 @@ class Fea2GSRopeAMP(nn.Module):
     shuffle_scale2: int = 2
     rope_theta: float = 10.0
     dtype: Any = jnp.float32
+    # fp32 Gaussian-parameter heads under a bf16 trunk (see Fea2GS) —
+    # measured -1.1 to -1.4 dB when the heads emit bf16.
+    fp32_heads: bool = True
 
     @nn.compact
     def __call__(self, srcs, scale):
@@ -415,15 +418,16 @@ class Fea2GSRopeAMP(nn.Module):
         query = pixel_shuffle(query, self.shuffle_scale2)
 
         guf = int(self.gs_up_factor)
-        q_sigma = HeadMLP(ch, 2 * guf, dtype=self.dtype,
+        hdt = jnp.float32 if self.fp32_heads else self.dtype
+        q_sigma = HeadMLP(ch, 2 * guf, dtype=hdt,
                           name="mlp_block_sigma")(query).reshape(b, -1, 2)
-        q_rho = HeadMLP(ch, 1 * guf, dtype=self.dtype,
+        q_rho = HeadMLP(ch, 1 * guf, dtype=hdt,
                         name="mlp_block_rho")(query).reshape(b, -1, 1)
-        q_alpha = HeadMLP(ch, 1 * guf, dtype=self.dtype,
+        q_alpha = HeadMLP(ch, 1 * guf, dtype=hdt,
                           name="mlp_block_alpha")(query).reshape(b, -1, 1)
-        q_rgb = HeadMLP(ch, 3 * guf, dtype=self.dtype,
+        q_rgb = HeadMLP(ch, 3 * guf, dtype=hdt,
                         name="mlp_block_rgb")(query).reshape(b, -1, 3)
-        q_mean = HeadMLP(ch, 2 * guf, dtype=self.dtype,
+        q_mean = HeadMLP(ch, 2 * guf, dtype=hdt,
                          name="mlp_block_mean")(query).reshape(b, -1, 2)
 
         lat_h = nsq * h_count * self.shuffle_scale1 * self.shuffle_scale2

@@ -62,3 +62,33 @@ def test_sr_forward_fused_matches(tiny, rng):
                    fused=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_decoder_fp32_heads(rng):
+    """bf16-trunk decoders emit fp32 Gaussian parameters by default
+    (fp32_heads — BENCH_NOTES r4 measured -1.1 to -1.4 dB from bf16 head
+    outputs); fp32_heads=False reproduces the all-bf16 autocast behavior."""
+    from gsasr_tpu.models import Fea2GS
+
+    kw = dict(inchannel=8, channel=24, num_heads=6, num_crossattn_blocks=1,
+              num_crossattn_layers=2, num_selfattn_blocks=1,
+              num_selfattn_layers=2, num_gs_seed=16, window_size=4)
+    feat = jnp.asarray(rng.random((1, 8, 8, 8), dtype=np.float32))
+    scale = jnp.full((1,), 2.0)
+
+    dec32 = Fea2GS(dtype=jnp.float32, **kw)
+    params = dec32.init(jax.random.PRNGKey(0), feat, scale)["params"]
+
+    dec_bf = Fea2GS(dtype=jnp.bfloat16, **kw)
+    out_bf = dec_bf.apply({"params": params}, feat, scale)
+    assert out_bf.dtype == jnp.float32  # heads kept fp32
+
+    dec_bf_all = Fea2GS(dtype=jnp.bfloat16, fp32_heads=False, **kw)
+    out_all = dec_bf_all.apply({"params": params}, feat, scale)
+    assert out_all.dtype == jnp.bfloat16
+
+    # fp32 heads track the fp32 model's output closer than bf16 heads do
+    out_32 = dec32.apply({"params": params}, feat, scale)
+    err_heads = float(jnp.abs(out_bf - out_32).mean())
+    err_all = float(jnp.abs(out_all.astype(jnp.float32) - out_32).mean())
+    assert err_heads <= err_all
