@@ -333,27 +333,27 @@ def _bwd_kernel_windowed(rect_ref, bbox_ref, geom_ref, col_ref, g_ref,
                   dgeom_ref, dcol_ref)
 
 
-def _seg_chunk(tab_ref, t, k, kc):
-    """Piecewise chunk selection over tile t's four ranges; tab rows 0-3 are
-    range chunk starts, rows 4-7 the cumulative lengths."""
-    c = jnp.where(
-        k < tab_ref[4, t], tab_ref[0, t] + k,
-        jnp.where(
-            k < tab_ref[5, t], tab_ref[1, t] + (k - tab_ref[4, t]),
-            jnp.where(k < tab_ref[6, t],
-                      tab_ref[2, t] + (k - tab_ref[5, t]),
-                      tab_ref[3, t] + (k - tab_ref[6, t]))))
+def _seg_chunk(tab_ref, t, k, kc, n_ranges):
+    """Piecewise chunk selection over tile t's ranges; tab rows
+    [0, n_ranges) are range chunk starts, rows [n_ranges, 2*n_ranges) the
+    cumulative chunk counts."""
+    n = n_ranges
+    c = tab_ref[n - 1, t] + (k - tab_ref[2 * n - 2, t])
+    for i in range(n - 2, -1, -1):
+        prev = tab_ref[n + i - 1, t] if i > 0 else 0
+        c = jnp.where(k < tab_ref[n + i, t],
+                      tab_ref[i, t] + (k - prev), c)
     return jnp.clip(c, 0, kc - 1)
 
 
 def _fwd_kernel_seg(tab_ref, geom_ref, col_ref, out_ref, *, th, tw, n_tw,
-                    nc, kc):
-    """Forward over per-tile segment ranges of the corner-sorted Gaussian
+                    nc, kc, n_ranges):
+    """Forward over per-tile segment ranges of the class-sorted Gaussian
     array (see `_raster_fwd_call_binned`): the k-th step of tile t walks the
-    concatenation of its four chunk ranges, masked past the total. No bbox
+    concatenation of its chunk ranges, masked past the total. No bbox
     test — a range is a superset of the exact per-tile list only through
-    chunk-boundary rounding, and every extra Gaussian is nulled by the
-    per-pixel cull-box mask."""
+    chunk-boundary rounding and bin granularity, and every extra Gaussian
+    is nulled by the per-pixel cull-box mask."""
     t = pl.program_id(0)
     k = pl.program_id(1)
 
@@ -364,7 +364,7 @@ def _fwd_kernel_seg(tab_ref, geom_ref, col_ref, out_ref, *, th, tw, n_tw,
     tile_i = t // n_tw
     tile_j = t - tile_i * n_tw
 
-    @pl.when(k < tab_ref[7, t])
+    @pl.when(k < tab_ref[2 * n_ranges - 1, t])
     def _():
         xpix, ypix = _pixel_xy(tile_i, tile_j, th, tw)
         sx, sy, rho, cx, cy, xlo, xhi, ylo, yhi = _load_rows(geom_ref)
@@ -497,25 +497,45 @@ def _raster_fwd_call_windowed(geom_t, col_t, *, h, w, th, tw, gc, window):
     return img[:h, :w]
 
 
-def _corner_key(geom_t, *, h, w, th, tw, ry, rx):
-    """Composite sort key for the segment-binned forward, plus class data.
+def _class_list(rmax: int):
+    """Ascending power-of-two row-capacity classes covering rmax (in
+    compute-tile units), capped at 7 classes; the last class capacity is
+    exactly rmax when rmax is not itself a power of two."""
+    rs = []
+    r = 2
+    while r < rmax and len(rs) < 6:
+        rs.append(r)
+        r *= 2
+    rs.append(max(int(rmax), 2))
+    return tuple(rs)
 
-    Key space: [0, nt) fine corner tile | [nt, nt+nb) coarse corner bin |
-    nt+nb invisible. Fine = clipped cull box spans <= 2x2 compute tiles;
-    coarse = everything else, binned on (ry x rx)-tile super-bins. Returns
-    (key, composite, ok): `key` is the walk key above; `composite` is the
-    SORT key (key refined by a within-bin fine-tile subkey, with
-    composite // nt == key so walk-key searchsorted stays valid on a
-    composite-sorted array); ok=False means some coarse box spans > 2x2
-    bins and the segment walk would MISS contributions — the caller must
-    fall back."""
+
+def _class_key(geom_t, *, h, w, th, tw, rmax):
+    """Sort/walk key for the size-classed segment forward.
+
+    Every visible Gaussian is assigned to the smallest size class whose
+    row capacity R (in compute tiles) covers its clipped cull box
+    (col span <= 2 tiles for all classes); within a class the key is the
+    (row-bin = fy0 // R, corner col-tile) cell. A box spanning more than
+    2 col-tiles or taller than the largest class lands in a single 'wide'
+    bucket that every tile walks. Unlike the r2-r3 fine/coarse scheme
+    (fine = 2x2 tiles, one coarse bin size from the dmax bound), the walk
+    volume contracts WITH the box-size distribution: each class is walked
+    over ~2R rows instead of the worst-case dmax extent — this is what
+    closes the "0.27 of the exact-list bound at trained sigmas" gap
+    BENCH_NOTES round 4 measured for the old scheme.
+
+    Returns (key, composite, n_keys): composite refines the key by the
+    corner's fine tile (y-major) so backward chunk bboxes stay ~box-sized;
+    composite // nt == relation is not needed — searchsorted runs on
+    `key` recomputed from the composite-sorted array. n_keys is static.
+    """
     g = jax.lax.stop_gradient(geom_t)
     xlo, xhi = g[G_XLO], g[G_XHI]
     ylo, yhi = g[G_YLO], g[G_YHI]
     n_th, n_tw = _cdiv(h, th), _cdiv(w, tw)
     nt = n_th * n_tw
-    n_bw = _cdiv(n_tw, rx)
-    nb = _cdiv(n_th, ry) * n_bw
+    rs = _class_list(min(rmax, n_th))
 
     vis = ((xhi >= 0) & (xlo <= w - 1) & (yhi >= 0) & (ylo <= h - 1)
            & (xhi >= xlo) & (yhi >= ylo))
@@ -523,68 +543,79 @@ def _corner_key(geom_t, *, h, w, th, tw, ry, rx):
     fx1 = (jnp.clip(xhi, 0, w - 1) // tw).astype(jnp.int32)
     fy0 = (jnp.clip(ylo, 0, h - 1) // th).astype(jnp.int32)
     fy1 = (jnp.clip(yhi, 0, h - 1) // th).astype(jnp.int32)
-    fine = vis & (fx1 - fx0 <= 1) & (fy1 - fy0 <= 1)
-    coarse = vis & ~fine
-    bad = coarse & ((fx1 // rx - fx0 // rx > 1) | (fy1 // ry - fy0 // ry > 1))
-    key = jnp.where(
-        fine, fy0 * n_tw + fx0,
-        jnp.where(coarse, nt + (fy0 // ry) * n_bw + fx0 // rx, nt + nb))
-    # Composite SORT key: within a coarse bin, order by the corner's fine
-    # tile (y-major). The forward's bin-level walk ranges are unchanged
-    # (walk key = composite // nt stays sorted), but the backward's
-    # per-chunk bboxes tighten from bin height to ~box height — directly
-    # cutting its VPU-bound active (pixel, gaussian) volume.
-    if nt * (nt + nb + 1) < 2**31:
-        sub = jnp.where(coarse, fy0 * n_tw + fx0, 0)
-        composite = key * nt + sub
+    srows = fy1 - fy0 + 1
+    scols = fx1 - fx0 + 1
+
+    key = jnp.full(fy0.shape, -1, jnp.int32)
+    base = 0
+    for r in rs:
+        k_c = base + (fy0 // r) * n_tw + fx0
+        fit = vis & (key < 0) & (srows <= r) & (scols <= 2)
+        key = jnp.where(fit, k_c, key)
+        base += _cdiv(n_th, r) * n_tw
+    wide_base = base
+    key = jnp.where(vis & (key < 0), wide_base, key)
+    n_keys = wide_base + 1
+    key = jnp.where(vis, key, n_keys)  # invisible sort last
+
+    if (n_keys + 1) * nt < 2**31:
+        sub = fy0 * n_tw + fx0
+        composite = key * nt + jnp.where(vis, sub, 0)
     else:  # int32 overflow guard for huge canvases: plain walk-key order
         composite = key
-    return key.astype(jnp.int32), composite.astype(jnp.int32), ~jnp.any(bad)
+    return key.astype(jnp.int32), composite.astype(jnp.int32), n_keys
 
 
-def _segment_tables(bounds, *, n_th, n_tw, ry, rx, gc, kc):
-    """Per-tile chunk-range table (8, nt) int32 for `_fwd_kernel_seg`.
+def _class_tables(bounds, *, n_th, n_tw, rmax, gc, kc):
+    """Per-tile chunk-range table (2*n_ranges, nt) int32 for
+    `_fwd_kernel_seg`, n_ranges = 2 * n_classes + 1.
 
-    Tile t must see every Gaussian whose fine corner is in tiles
-    {t, t-1, t-nw, t-nw-1} (span <= 2x2 means a toucher's corner is there)
-    and every coarse Gaussian whose corner bin is in the same 2x2 bin
-    neighborhood — two contiguous key ranges each, since (row, col) and
-    (row, col+1) are adjacent keys. Ranges are rounded to chunk boundaries
-    (the kernel's per-pixel box mask nulls the strays) and their chunk ends
-    are clamped to the next range's start so rounding can never double-count
-    (the next range then covers the clamped-off chunks).
+    For class capacity R, a Gaussian covers tile row ti iff its corner row
+    fy0 is in [ti - R + 1, ti] — an interval of length R spanning at most
+    2 consecutive R-row bins; per bin the needed corner col-tiles
+    {tj-1, tj} are adjacent keys, so each (class, bin-row) contributes ONE
+    contiguous key range. Plus one range for the wide bucket. Ranges are
+    rounded to chunk boundaries (the kernel's per-pixel box mask nulls the
+    strays) and each range's chunk end is clamped to the next range's
+    start so rounding can never double-count.
 
-    rows 0-3: range chunk starts; rows 4-7: cumulative chunk counts.
+    rows [0, n): range chunk starts; rows [n, 2n): cumulative counts.
     """
     nt = n_th * n_tw
-    n_bh, n_bw = _cdiv(n_th, ry), _cdiv(n_tw, rx)
-    nb = n_bh * n_bw
+    rs = _class_list(min(rmax, n_th))
     t = jnp.arange(nt, dtype=jnp.int32)
     ti = t // n_tw
     tj = t - ti * n_tw
-    b = (ti // ry) * n_bw + tj // rx
+    n_keys = bounds.shape[0] - 1
 
-    def seg(base, lo_key, hi_key, n_keys):
-        lo = bounds[base + jnp.clip(lo_key, 0, n_keys)]
-        hi = bounds[base + jnp.clip(hi_key, 0, n_keys)]
-        return lo, jnp.maximum(hi, lo)
+    los, his = [], []
+    base = 0
+    for r in rs:
+        b1 = ti // r
+        b0 = jnp.maximum(ti - r + 1, 0) // r
+        for brow in (b0, b1):
+            lo_key = base + brow * n_tw + jnp.maximum(tj - 1, 0)
+            hi_key = base + brow * n_tw + tj + 1
+            lo = bounds[jnp.clip(lo_key, 0, n_keys)]
+            hi = bounds[jnp.clip(hi_key, 0, n_keys)]
+            los.append(lo)
+            his.append(jnp.maximum(hi, lo))
+        base += _cdiv(n_th, r) * n_tw
+    # wide bucket: every tile walks it
+    los.append(jnp.broadcast_to(bounds[base], (nt,)))
+    his.append(jnp.broadcast_to(jnp.maximum(bounds[base + 1], bounds[base]),
+                                (nt,)))
 
-    # ascending key order: fine upper row, fine current row, coarse upper
-    # bin row, coarse current bin row
-    lo0, hi0 = seg(0, t - n_tw - 1, t - n_tw + 1, nt)
-    lo1, hi1 = seg(0, t - 1, t + 1, nt)
-    lo2, hi2 = seg(nt, b - n_bw - 1, b - n_bw + 1, nb)
-    lo3, hi3 = seg(nt, b - 1, b + 1, nb)
-
-    clo = [lo0 // gc, lo1 // gc, lo2 // gc, lo3 // gc]
-    chi = [-(-hi0 // gc), -(-hi1 // gc), -(-hi2 // gc), -(-hi3 // gc)]
-    for i in range(3):
+    n = len(los)
+    clo = [lo // gc for lo in los]
+    chi = [-(-hi // gc) for hi in his]
+    for i in range(n - 1):
         chi[i] = jnp.minimum(chi[i], clo[i + 1])
     lens = [jnp.maximum(chi[i] - jnp.minimum(clo[i], chi[i]), 0)
-            for i in range(4)]
+            for i in range(n)]
     cum = []
     acc = jnp.zeros((nt,), jnp.int32)
-    for i in range(4):
+    for i in range(n):
         acc = acc + lens[i]
         cum.append(acc)
     tab = jnp.stack(
@@ -593,48 +624,49 @@ def _segment_tables(bounds, *, n_th, n_tw, ry, rx, gc, kc):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "h", "w", "th", "tw", "gc", "ry", "rx", "window", "fb_th", "fb_tw",
+    "h", "w", "th", "tw", "gc", "rmax", "window", "fb_th", "fb_tw",
     "fb_gc"))
-def _raster_fwd_call_binned(geom_t, col_t, *, h, w, th, tw, gc, ry, rx,
+def _raster_fwd_call_binned(geom_t, col_t, *, h, w, th, tw, gc, rmax,
                             window, fb_th, fb_tw, fb_gc):
-    """Segment-binned forward: every tile walks only the chunks of the
-    corner-sorted Gaussian array whose corners lie in its 2x2 tile (or
-    coarse-bin) neighborhood. Work is proportional to ~4x the true number of
-    (Gaussian, tile) overlaps — measured ~5-8x less compute than the
-    chunk-bbox culling of the windowed path on the 720^2/518k benchmark,
-    whose chunk unions are inflated by the ~10% of Gaussians with near-dmax
-    footprints. The input must already be sorted by `_corner_key` (the
-    caller's spatial sort). Falls back to the windowed path at runtime when
-    a tile's walk exceeds `window` or a coarse box spans > 2x2 bins."""
+    """Size-classed segment forward: every tile walks only the chunks of
+    the class-sorted Gaussian array whose (class, row-bin, corner-col)
+    cells its pixels can see. Work per tile contracts with the actual
+    box-size distribution (each class walked over ~2R rows) instead of the
+    static dmax extent — the r2-r3 fine/coarse scheme walked ~3.7x the
+    exact-list bound at trained sigmas (BENCH_NOTES round 4). The input
+    must already be sorted by `_class_key` (the caller's spatial sort).
+    Falls back to the windowed path at runtime when a tile's walk exceeds
+    `window`."""
     sp = geom_t.shape[1]
     nc = col_t.shape[0]
     n_th, n_tw = _cdiv(h, th), _cdiv(w, tw)
     nt = n_th * n_tw
-    nb = _cdiv(n_th, ry) * _cdiv(n_tw, rx)
     kc = sp // gc
     p = th * tw
 
-    key, _, ok = _corner_key(geom_t, h=h, w=w, th=th, tw=tw, ry=ry, rx=rx)
+    key, _, n_keys = _class_key(geom_t, h=h, w=w, th=th, tw=tw, rmax=rmax)
     bounds = jnp.searchsorted(
-        key, jnp.arange(nt + nb + 1, dtype=jnp.int32)).astype(jnp.int32)
-    tab, total = _segment_tables(bounds, n_th=n_th, n_tw=n_tw, ry=ry, rx=rx,
-                                 gc=gc, kc=kc)
-    ok = ok & (jnp.max(total) <= window)
+        key, jnp.arange(n_keys + 1, dtype=jnp.int32)).astype(jnp.int32)
+    tab, total = _class_tables(bounds, n_th=n_th, n_tw=n_tw, rmax=rmax,
+                               gc=gc, kc=kc)
+    n_ranges = tab.shape[0] // 2
+    ok = jnp.max(total) <= window
 
     def binned(args):
         geom_t, col_t, tab = args
         kernel = functools.partial(_fwd_kernel_seg, th=th, tw=tw, n_tw=n_tw,
-                                   nc=nc, kc=kc)
+                                   nc=nc, kc=kc, n_ranges=n_ranges)
+        sel = functools.partial(_seg_chunk, kc=kc, n_ranges=n_ranges)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nt, window),
             in_specs=[
                 pl.BlockSpec(
                     (GEOM_COLS, gc),
-                    lambda t, k, tab_ref: (0, _seg_chunk(tab_ref, t, k, kc))),
+                    lambda t, k, tab_ref: (0, sel(tab_ref, t, k))),
                 pl.BlockSpec(
                     (nc, gc),
-                    lambda t, k, tab_ref: (0, _seg_chunk(tab_ref, t, k, kc))),
+                    lambda t, k, tab_ref: (0, sel(tab_ref, t, k))),
             ],
             out_specs=pl.BlockSpec((1, p, nc),
                                    lambda t, k, tab_ref: (t, 0, 0)),
@@ -839,19 +871,21 @@ def _raster_bwd_call(geom_t, col_t, g_img, *, h, w, th, tw, gc, window=0):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_dispatch(geom, col, h, w, th, tw, gc, ry, rx):
-    """Forward dispatch. ry/rx > 0 selects the exact-binned forward (they are
-    the coarse-bin dims in fine-tile units); otherwise pick the windowed
-    forward when the chunk count is large enough for per-tile ranges to pay
-    off, else the dense grid."""
+def _fwd_dispatch(geom, col, h, w, th, tw, gc, rmax):
+    """Forward dispatch. rmax > 0 selects the size-classed segment forward
+    (rmax = the largest cull-box row extent in fine-tile units); otherwise
+    pick the windowed forward when the chunk count is large enough for
+    per-tile ranges to pay off, else the dense grid."""
     kc = geom.shape[1] // gc
-    if ry > 0:
+    if rmax > 0:
         sp = geom.shape[1]
-        nt = _cdiv(h, _DEF_TH_BIN) * _cdiv(w, tw)
-        window = max(32, _cdiv(8 * sp, nt * _DEF_GC_BIN))
+        n_th = _cdiv(h, _DEF_TH_BIN)
+        nt = n_th * _cdiv(w, tw)
+        n_ranges = 2 * len(_class_list(min(rmax, n_th))) + 1
+        window = max(32, _cdiv(8 * sp, nt * _DEF_GC_BIN) + 2 * n_ranges)
         return _raster_fwd_call_binned(
             geom, col, h=h, w=w, th=_DEF_TH_BIN, tw=tw, gc=_DEF_GC_BIN,
-            ry=ry, rx=rx, window=window, fb_th=th, fb_tw=tw, fb_gc=gc)
+            rmax=rmax, window=window, fb_th=th, fb_tw=tw, fb_gc=gc)
     if kc >= 16:
         window = int(min(kc, max(64, -(-kc // 4))))
         return _raster_fwd_call_windowed(geom, col, h=h, w=w, th=th, tw=tw,
@@ -860,17 +894,17 @@ def _fwd_dispatch(geom, col, h, w, th, tw, gc, ry, rx):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
-def _raster_core(geom, col, h, w, th, tw, gc, gc_bwd, ry, rx, window_bwd):
-    return _fwd_dispatch(geom, col, h, w, th, tw, gc, ry, rx)
+                   nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+def _raster_core(geom, col, h, w, th, tw, gc, gc_bwd, rmax, window_bwd):
+    return _fwd_dispatch(geom, col, h, w, th, tw, gc, rmax)
 
 
-def _raster_core_fwd(geom, col, h, w, th, tw, gc, gc_bwd, ry, rx, window_bwd):
-    out = _fwd_dispatch(geom, col, h, w, th, tw, gc, ry, rx)
+def _raster_core_fwd(geom, col, h, w, th, tw, gc, gc_bwd, rmax, window_bwd):
+    out = _fwd_dispatch(geom, col, h, w, th, tw, gc, rmax)
     return out, (geom, col)
 
 
-def _raster_core_bwd(h, w, th, tw, gc, gc_bwd, ry, rx, window_bwd, res, g):
+def _raster_core_bwd(h, w, th, tw, gc, gc_bwd, rmax, window_bwd, res, g):
     # Backward runs with its own smaller tile/chunk so its ~8 concurrent
     # (th_bwd*tw, gc_bwd) f32 temporaries fit the ~16MB VMEM budget.
     geom, col = res
@@ -914,20 +948,19 @@ def gs_render_px(geom, colors, canvas_hw: Sequence[int], *,
     geom = geom.astype(jnp.float32)
     colors = colors.astype(jnp.float32)
 
-    # The segment-binned forward requires the corner-key sort below, so it
-    # only engages when the spatial sort runs.
-    ry = rx = 0
+    # The size-classed segment forward requires the class-key sort below,
+    # so it only engages when the spatial sort runs.
+    rmax = 0
     if (spatial_sort and s > gc
             and (binning == "on" or (binning == "auto" and s // gc >= 16))):
-        mbh, mbw = max_box_px if max_box_px is not None else (h, w)
-        ry = min(_cdiv(h, _DEF_TH_BIN), _cdiv(int(mbh) + 2, _DEF_TH_BIN))
-        rx = min(_cdiv(w, tw), _cdiv(int(mbw) + 2, tw))
+        mbh = max_box_px[0] if max_box_px is not None else h
+        rmax = min(_cdiv(h, _DEF_TH_BIN), _cdiv(int(mbh) + 2, _DEF_TH_BIN))
 
     if spatial_sort and s > gc:
         g = jax.lax.stop_gradient(geom)
-        if ry > 0:
-            _, key, _ = _corner_key(g.T, h=h, w=w, th=_DEF_TH_BIN, tw=tw,
-                                    ry=ry, rx=rx)
+        if rmax > 0:
+            _, key, _ = _class_key(g.T, h=h, w=w, th=_DEF_TH_BIN, tw=tw,
+                                   rmax=rmax)
         else:
             cyx = jnp.clip(g[:, G_CY], 0, h - 1).astype(jnp.int32) // th
             cxx = jnp.clip(g[:, G_CX], 0, w - 1).astype(jnp.int32) // tw
@@ -937,7 +970,7 @@ def gs_render_px(geom, colors, canvas_hw: Sequence[int], *,
         colors = jnp.take(colors, perm, axis=0)
 
     align = max(gc, gc_bwd)
-    if ry > 0:
+    if rmax > 0:
         align = max(align, _DEF_GC_BIN)
         assert align % _DEF_GC_BIN == 0, (align, _DEF_GC_BIN)
     assert align % min(gc, gc_bwd) == 0, (gc, gc_bwd)
@@ -972,12 +1005,13 @@ def gs_render_px(geom, colors, canvas_hw: Sequence[int], *,
         mbw_i = int(_m.ceil(float(max_box_px[1])))
         bw_nth = _cdiv(h, _DEF_TH_BWD)
         bw_ntw = _cdiv(w, tw)
-        if ry > 0:
-            # Corner-key sort with within-bin fine subkey: a chunk's bbox
-            # spans at most its cull-box extent plus one coarse bin (only
-            # bin-boundary chunks reach the bin term).
-            rows = min(bw_nth, _cdiv(mbh_i, _DEF_TH_BWD) + ry + 4)
-            cols = min(bw_ntw, _cdiv(mbw_i, tw) + rx + 2)
+        if rmax > 0:
+            # Class-key sort with within-bin fine subkey: a chunk's bbox
+            # spans at most its class's cull-box extent plus one row bin
+            # of that class (<= rmax fine tiles each).
+            rows = min(bw_nth,
+                       2 * rmax * _DEF_TH_BIN // _DEF_TH_BWD + 6)
+            cols = min(bw_ntw, _cdiv(mbw_i, tw) + 3)
         else:
             rows = min(bw_nth, 3 * _cdiv(mbh_i, _DEF_TH_BWD) + 6)
             cols = min(bw_ntw, 3 * _cdiv(mbw_i, tw) + 4)
@@ -985,7 +1019,7 @@ def gs_render_px(geom, colors, canvas_hw: Sequence[int], *,
             window_bwd = rows * cols
 
     # Transpose to gaussians-along-lanes; autodiff maps grads back.
-    return _raster_core(geom.T, colors.T, h, w, th, tw, gc, gc_bwd, ry, rx,
+    return _raster_core(geom.T, colors.T, h, w, th, tw, gc, gc_bwd, rmax,
                         window_bwd)
 
 

@@ -214,6 +214,30 @@ def test_binned_forward_matches_reference(rng, s, size, dmax):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_classed_forward_spans_every_size_class(rng):
+    """Box sizes engineered to populate every power-of-two size class of
+    the classed segment forward (plus the wide bucket via a near-canvas
+    box) on a tall canvas with many row bins — parity vs the dense
+    reference gates the class/bin/range bookkeeping."""
+    s, size = 1536, (160, 140)
+    rng2 = np.random.default_rng(7)
+    # target pixel-unit sigmas so 14.5*sigma covers ~{4, 12, 28, 60, 150}px
+    want_half = np.array([4, 12, 28, 60, 150], np.float32)
+    half = want_half[rng2.integers(0, 5, s)]
+    # kernel-unit sigma: sigma_px = sigma_norm * (n-1)/2 per axis
+    sig_y = (half / 14.5) / ((size[0] - 1) / 2)
+    sig_x = (half / 14.5) / ((size[1] - 1) / 2)
+    rho = (rng2.random(s, dtype=np.float32) - 0.5) * 0.8
+    sigmas = jnp.asarray(np.stack([sig_x, sig_y, rho], 1, dtype=np.float32))
+    coords = jnp.asarray(
+        2.2 * rng2.random((s, 2), dtype=np.float32) - 1.1)
+    colors = jnp.asarray(rng2.random((s, 3), dtype=np.float32))
+    ref = gs_render_reference(sigmas, coords, colors, size, 0.9)
+    out = gs_render(sigmas, coords, colors, size, 0.9, gc=256, binning="on")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_binned_overflow_falls_back(rng):
     # Everything concentrated in one tile: per-tile list capacity (sized for
     # a uniform layout) must overflow and the runtime cond must deliver the
