@@ -78,11 +78,23 @@ def make_models(encoder: str = "edsr", version: str = "paper", *,
 
 
 @functools.lru_cache(maxsize=None)
+def _use_fused_decoder() -> bool:
+    # GSASR_FUSED_DECODER=1 routes paper-decoder inference through the
+    # fused-layer Pallas fast path (models/fea2gs_fast.py) — same params,
+    # parity-tested; off by default pending the on-chip A/B.
+    import os
+    return os.environ.get("GSASR_FUSED_DECODER", "0") == "1"
+
+
 def _jitted_apply(module):
     """Per-module cached jit of `module.apply` (modules are frozen
     dataclasses, hence hashable). Stage-wise jits keep each compiled
     program small — one monolithic jit of the whole pipeline compiles
     pathologically slowly through the axon remote-compile path."""
+    if isinstance(module, Fea2GS) and _use_fused_decoder():
+        from gsasr_tpu.models.fea2gs_fast import fea2gs_apply_fused
+        return jax.jit(lambda params, *xs: fea2gs_apply_fused(
+            module, {"params": params}, *xs))
     return jax.jit(lambda params, *xs: module.apply({"params": params}, *xs))
 
 
