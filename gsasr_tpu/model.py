@@ -126,12 +126,19 @@ def _jitted_pipeline(enc, dec, scale: float, dmax_mode: str, dmax: float,
     device dispatch per image (the stage-wise path costs one tunnel
     round-trip per stage on axon)."""
 
+    if isinstance(dec, Fea2GS) and _use_fused_decoder():
+        from gsasr_tpu.models.fea2gs_fast import fea2gs_apply_fused
+        dec_apply = lambda p, f, s: fea2gs_apply_fused(
+            dec, {"params": p}, f, s)
+    else:
+        dec_apply = lambda p, f, s: dec.apply({"params": p}, f, s)
+
     @jax.jit
     def fused(enc_params, dec_params, padded):
         feat = enc.apply({"params": enc_params}, padded)
         b = padded.shape[0]
-        gs = dec.apply({"params": dec_params},
-                       feat, jnp.full((b,), scale, jnp.float32))
+        gs = dec_apply(dec_params, feat,
+                       jnp.full((b,), scale, jnp.float32))
         imgs = [render_gaussians(sr_hw, gs[i], jnp.float32(scale),
                                  dmax_mode=dmax_mode, dmax=dmax)
                 for i in range(b)]

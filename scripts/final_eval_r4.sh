@@ -10,6 +10,10 @@ echo "=== bench (classed render) ==="
 python bench.py
 echo "=== bench (fused decoder) ==="
 GSASR_FUSED_DECODER=1 python bench.py
+echo "=== val x4 (fused decoder) ==="
+GSASR_FUSED_DECODER=1 timeout 900 python -m gsasr_tpu.cli.test --gt datasets/val/gt \
+  --lq datasets/val/lrx4 --scale 4 --model EDSR --version paper \
+  --orbax_ckpt "$CKPT" 2>/dev/null | tail -1
 for S in 4 2 3 6.5; do
   LQ=lrx${S/6.5/65}; LQ=${LQ/.}
   echo "=== val x$S ==="
