@@ -96,7 +96,10 @@ def _find_ckpt():
              if os.path.isdir(p) and os.path.basename(p).isdigit()]
     pref = [p for p in cands if "edsr" in p.lower()]
     pool = pref or cands
-    return max(pool, key=lambda p: int(os.path.basename(p)), default=None)
+    # highest step wins; equal steps from different runs tie-break on
+    # recency so the round's own run is benched
+    return max(pool, key=lambda p: (int(os.path.basename(p)),
+                                    os.path.getmtime(p)), default=None)
 
 
 def main():
