@@ -96,10 +96,11 @@ def _find_ckpt():
              if os.path.isdir(p) and os.path.basename(p).isdigit()]
     pref = [p for p in cands if "edsr" in p.lower()]
     pool = pref or cands
-    # highest step wins; equal steps from different runs tie-break on
-    # recency so the round's own run is benched
-    return max(pool, key=lambda p: (int(os.path.basename(p)),
-                                    os.path.getmtime(p)), default=None)
+    # the most recently trained experiment wins (the round's own run),
+    # then its highest step — an older run's higher step number must not
+    # shadow this round's checkpoint
+    return max(pool, key=lambda p: (os.path.getmtime(p),
+                                    int(os.path.basename(p))), default=None)
 
 
 def main():
