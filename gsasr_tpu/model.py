@@ -94,9 +94,16 @@ def _jitted_apply(module):
     program small — one monolithic jit of the whole pipeline compiles
     pathologically slowly through the axon remote-compile path."""
     if isinstance(module, Fea2GS) and _use_fused_decoder():
+        import os
+
         from gsasr_tpu.models.fea2gs_fast import fea2gs_apply_fused
+        # GSASR_FUSED_DTYPE=bfloat16 runs the fused trunk in bf16 (fp32
+        # heads/UPNet — see fea2gs_apply_fused); default fp32.
+        fdt = (jnp.bfloat16
+               if os.environ.get("GSASR_FUSED_DTYPE", "") in
+               ("bfloat16", "bf16") else None)
         return jax.jit(lambda params, *xs: fea2gs_apply_fused(
-            module, {"params": params}, *xs))
+            module, {"params": params}, *xs, dtype=fdt))
     return jax.jit(lambda params, *xs: module.apply({"params": params}, *xs))
 
 

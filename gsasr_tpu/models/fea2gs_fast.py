@@ -77,8 +77,15 @@ def _from_lattice(full, nsq):
     return window_partition(full, nsq)
 
 
-def fea2gs_apply_fused(m: Fea2GS, variables, srcs, scale):
-    """Fused-kernel equivalent of `m.apply(variables, srcs, scale)`."""
+def fea2gs_apply_fused(m: Fea2GS, variables, srcs, scale, dtype=None):
+    """Fused-kernel equivalent of `m.apply(variables, srcs, scale)`.
+
+    dtype=jnp.bfloat16 runs the TRUNK (attention/FFN layer stack) in bf16
+    while LN/softmax statistics stay f32 in-kernel and the UPNet + the
+    five Gaussian-parameter heads stay fp32 (the fp32_heads recipe — bf16
+    head outputs measured -1.1 to -1.4 dB, BENCH_NOTES r4). Trunk
+    activations are the decoder's HBM traffic, so this halves the
+    memory-bound floor without touching parameter precision."""
     params = variables["params"] if "params" in variables else variables
     b, h, w, _ = srcs.shape
     ws = m.window_size
@@ -98,6 +105,10 @@ def fea2gs_apply_fused(m: Fea2GS, variables, srcs, scale):
 
     feat = jnp.maximum(_conv3(params["img_feat_proj_0"], srcs), 0.0)
     feat = _conv3(params["img_feat_proj_2"], feat)
+
+    if dtype is not None:
+        query = query.astype(dtype)
+        feat = feat.astype(dtype)
 
     # -- window cross-attn blocks ---------------------------------------
     idx_cross = cross_attn_rel_pos_index(nsq, ws)
@@ -175,7 +186,8 @@ def fea2gs_apply_fused(m: Fea2GS, variables, srcs, scale):
         query = ln_mlp_residual(x, resi=resi_block, **tail)
     query = query + resi_outer
 
-    # -- lattice, UPNet, heads ------------------------------------------
+    # -- lattice, UPNet, heads (fp32 regardless of trunk dtype) ---------
+    query = query.astype(jnp.float32)
     query = _to_lattice(query, b, h_count, w_count, nsq, ch)
     query = _conv3(params["upnet_0"], query)
     query = pixel_shuffle(query, m.shuffle_scale1)
@@ -204,6 +216,8 @@ def fea2gs_apply_fused(m: Fea2GS, variables, srcs, scale):
 
 
 def _ln_plain(p, x, eps=1e-5):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    return y.astype(x.dtype)

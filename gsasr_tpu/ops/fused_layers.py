@@ -65,9 +65,11 @@ def _k_ln_mlp(x_ref, resi_ref, inj_ref, ln_w_ref, ln_b_ref, w1_ref, b1_ref,
             t = t + inj_ref[w].astype(jnp.float32)
         h = (_ln_f32(t, ln_w_ref[0], ln_b_ref[0]) if has_ln else t)
         h = h.astype(x_ref.dtype)
-        z = _mm(h, w1_ref[...]) + b1_ref[0].astype(jnp.float32)
+        z = _mm(h, w1_ref[...].astype(h.dtype)) + b1_ref[0].astype(
+            jnp.float32)
         z = jnp.maximum(z, 0.0).astype(x_ref.dtype)
-        z = _mm(z, w2_ref[...]) + b2_ref[0].astype(jnp.float32)
+        z = _mm(z, w2_ref[...].astype(z.dtype)) + b2_ref[0].astype(
+            jnp.float32)
         base = resi_ref[w].astype(jnp.float32) if has_resi else t
         o_ref[w] = (base + z).astype(o_ref.dtype)
 
@@ -138,9 +140,12 @@ def _k_ln_attn(x_ref, pos_ref, kv_ref, ln_w_ref, ln_b_ref, wq_ref, bq_ref,
             xq = xq + pos_ref[0].astype(jnp.float32)
         xq = xq.astype(x_ref.dtype)
         src = kv_ref[w] if has_kv else xq
-        q = _mm(xq, wq_ref[...]) + bq_ref[0].astype(jnp.float32)
-        k = _mm(src, wk_ref[...]) + bk_ref[0].astype(jnp.float32)
-        v = _mm(src, wv_ref[...]) + bv_ref[0].astype(jnp.float32)
+        q = _mm(xq, wq_ref[...].astype(xq.dtype)) + bq_ref[0].astype(
+            jnp.float32)
+        k = _mm(src, wk_ref[...].astype(src.dtype)) + bk_ref[0].astype(
+            jnp.float32)
+        v = _mm(src, wv_ref[...].astype(src.dtype)) + bv_ref[0].astype(
+            jnp.float32)
         q = q.astype(x_ref.dtype)
         k = k.astype(x_ref.dtype)
         v = v.astype(x_ref.dtype)
@@ -159,7 +164,8 @@ def _k_ln_attn(x_ref, pos_ref, kv_ref, ln_w_ref, ln_b_ref, wq_ref, bq_ref,
                 preferred_element_type=jnp.float32)
             outs.append(o)
         att = jnp.concatenate(outs, axis=1)
-        out = _mm(att.astype(x_ref.dtype), wo_ref[...]) \
+        out = _mm(att.astype(x_ref.dtype),
+                  wo_ref[...].astype(x_ref.dtype)) \
             + bo_ref[0].astype(jnp.float32)
         o_ref[w] = out.astype(o_ref.dtype)
 
