@@ -389,6 +389,57 @@ def _fwd_kernel_seg(tab_ref, geom_ref, col_ref, out_ref, *, th, tw, n_tw,
         out_ref[0, :, :] += contrib
 
 
+def _fwd_kernel_list(tab_ref, geom_ref, col_ref, out_ref, *, th, tw, n_tw,
+                     nc):
+    """Forward over per-tile EXACT Gaussian lists: grid step k processes the
+    k-th chunk of the gathered list array; tab rows are [tile, flag] with
+    flag 1 = first chunk of its tile (zero the block), 0 = continuation,
+    -1 = unused trailing capacity (skip). Every listed Gaussian's cull box
+    overlaps its tile by construction, so there is no chunk bbox test; pad
+    slots carry inverted boxes and are nulled by the per-pixel mask. tab is
+    packed `tile*4 + (flag+1)` (one int32/chunk keeps SMEM small).
+
+    The output tile is (1, nc, p) — colors along sublanes — because this
+    kernel's out block index changes with the 1D grid step, so Mosaic
+    flushes/refetches across tile boundaries; a (1, p, nc) layout would
+    lane-pad nc -> 128 and move ~1 MB per boundary."""
+    k = pl.program_id(0)
+    code = tab_ref[0, k]
+    t = code // 4
+    flag = code - 4 * t - 1
+
+    @pl.when(flag == 1)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(flag >= 0)
+    def _():
+        tile_i = t // n_tw
+        tile_j = t - tile_i * n_tw
+        xpix, ypix = _pixel_xy(tile_i, tile_j, th, tw)
+        sx, sy, rho, cx, cy, xlo, xhi, ylo, yhi = _load_rows(geom_ref)
+
+        dx = xpix - cx
+        dy = ypix - cy
+        inv_sx = 1.0 / sx
+        inv_sy = 1.0 / sy
+        w2 = inv_sx * inv_sx
+        w3 = inv_sx * inv_sy
+        w4 = inv_sy * inv_sy
+        w1 = -0.5 / (1.0 - rho * rho)
+        quad = w2 * (dx * dx) - (2.0 * rho * w3) * (dx * dy) + w4 * (dy * dy)
+        v = jnp.exp(w1 * quad)
+        mask = (xpix >= xlo) & (xpix <= xhi) & (ypix >= ylo) & (ypix <= yhi)
+        v = jnp.where(mask, v, 0.0)
+        # (nc, gc) x (p, gc) -> (nc, p) on the MXU.
+        contrib = jax.lax.dot_general(
+            col_ref[...], v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, :, :] += contrib
+
+
 # ---------------------------------------------------------------------------
 # Pallas call wrappers
 # ---------------------------------------------------------------------------
@@ -495,6 +546,219 @@ def _raster_fwd_call_windowed(geom_t, col_t, *, h, w, th, tw, gc, window):
     img = out.reshape(n_th, n_tw, th, tw, nc)
     img = img.transpose(0, 2, 1, 3, 4).reshape(n_th * th, n_tw * tw, nc)
     return img[:h, :w]
+
+
+# Chunk size of the exact-list forward: per-tile segments are padded to
+# multiples of _DEF_GC_LIST and the packed chunk->tile table rides scalar
+# prefetch (one int32 per chunk, so SMEM stays ~cap/gc * 4 bytes).
+_DEF_GC_LIST = 256
+
+
+def _corner_tiles(g, *, h, w, th, tw):
+    """Clipped corner tile coordinates and tile extents of each cull box.
+
+    Returns (fy0, fx0, nrows, ncols, vis); invisible boxes are forced to
+    corner (n_th, 0) — one row past the canvas — so they sort after every
+    visible Gaussian under the y-major corner key `fy0 * n_tw + fx0`."""
+    n_th = _cdiv(h, th)
+    xlo, xhi, ylo, yhi = g[G_XLO], g[G_XHI], g[G_YLO], g[G_YHI]
+    vis = ((xhi >= 0) & (xlo <= w - 1) & (yhi >= 0) & (ylo <= h - 1)
+           & (xhi >= xlo) & (yhi >= ylo))
+    fx0 = (jnp.clip(xlo, 0, w - 1) // tw).astype(jnp.int32)
+    fx1 = (jnp.clip(xhi, 0, w - 1) // tw).astype(jnp.int32)
+    fy0 = (jnp.clip(ylo, 0, h - 1) // th).astype(jnp.int32)
+    fy1 = (jnp.clip(yhi, 0, h - 1) // th).astype(jnp.int32)
+    nrows = jnp.where(vis, fy1 - fy0 + 1, 0).astype(jnp.int32)
+    ncols = jnp.where(vis, fx1 - fx0 + 1, 0).astype(jnp.int32)
+    fy0 = jnp.where(vis, fy0, n_th)
+    fx0 = jnp.where(vis, fx0, 0)
+    return fy0, fx0, nrows, ncols, vis
+
+
+def _exact_tables(geom_t, *, h, w, th, tw, gc, mr, mc, cap):
+    """Per-tile EXACT Gaussian lists without a global membership sort.
+
+    For Gaussians sorted by the y-major corner key, the memberships at a
+    fixed tile offset q = (r, c) — Gaussian i covering tile
+    (fy0_i + r, fx0_i + c) — are themselves nondecreasing in tile id, so
+    each membership's destination slot is computed analytically:
+
+        dest(i, q) = seg_start[t]*gc + offset_q[t] + rank_q(i)
+
+    with per-(q, tile) counts from `searchsorted` on the sorted per-q keys
+    and run-local ranks from prefix sums (a 541-entry delta scatter + one
+    cumsum per table — no sort of the ~spans*S expanded array). A final
+    flat scatter writes the source indices into their slots. NOTE: hard-
+    synced measurements put these XLA primitives ~100x off HBM speed on
+    the current chip (see gs_render_px), which is why the exact path is
+    opt-in.
+
+    This is the TPU replacement for the CUDA per-Gaussian atomic scan
+    (`/root/reference/utils/gs_cuda_dmax/gs.cu:38-62`): identical
+    asymptotics (each Gaussian touches only its own footprint) but
+    gather-based and deterministic.
+
+    Returns (list_idx (cap,) int32 indices into the sorted array — sp
+    denotes the pad slot, tab (1, cap//gc) int32 packed `tile*4+(flag+1)`
+    with flag 1 = first chunk of its tile, 0 = continuation, -1 = unused
+    trailing capacity, ok bool). ok is False when a box spans more than
+    (mr, mc) tiles or the chunk-padded total exceeds cap; every tile owns
+    >= 1 chunk so empty tiles still get their output block zeroed.
+    """
+    g = jax.lax.stop_gradient(geom_t)
+    sp = g.shape[1]
+    n_th, n_tw = _cdiv(h, th), _cdiv(w, tw)
+    nt = n_th * n_tw
+    nchunks = cap // gc
+    q_n = mr * mc
+    fy0, fx0, nrows, ncols, vis = _corner_tiles(g, h=h, w=w, th=th, tw=tw)
+    ok_span = jnp.all(nrows <= mr) & jnp.all(ncols <= mc)
+
+    # (Q, sp) membership lattice; each key row is nondecreasing: the input
+    # is (fy0, fx0)-lexicographic and adding a constant (r, c) offset with
+    # the column clamped to the row end preserves y-major order.
+    rr = jnp.repeat(jnp.arange(mr, dtype=jnp.int32), mc)[:, None]
+    cc = jnp.tile(jnp.arange(mc, dtype=jnp.int32), mr)[:, None]
+    key = (fy0[None, :] + rr) * n_tw + jnp.minimum(fx0[None, :] + cc,
+                                                   n_tw - 1)
+    valid = vis[None, :] & (rr < nrows[None, :]) & (cc < ncols[None, :])
+
+    cvx = jnp.concatenate(  # (Q, sp+1) exclusive valid-count prefix
+        [jnp.zeros((q_n, 1), jnp.int32),
+         jnp.cumsum(valid.astype(jnp.int32), axis=1)], axis=1)
+    t_edges = jnp.arange(nt + 1, dtype=jnp.int32)
+    pos = jax.vmap(
+        lambda k: jnp.searchsorted(k, t_edges, method="scan_unrolled"))(
+            key).astype(jnp.int32)                 # (Q, nt+1) run starts
+    cv_at = jnp.take_along_axis(cvx, pos, axis=1)  # valid count at starts
+    vcnt = cv_at[:, 1:] - cv_at[:, :-1]            # (Q, nt) per-tile counts
+
+    counts = vcnt.sum(axis=0)                      # (nt,)
+    seg_chunks = jnp.maximum(-(-counts // gc), 1)
+    seg_start_c = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(seg_chunks)]).astype(jnp.int32)  # (nt+1,) chunk starts
+    used_chunks = seg_start_c[nt]
+    ok = ok_span & (used_chunks <= nchunks)
+
+    # element offset of sequence q inside tile t's segment
+    off_q = jnp.concatenate(
+        [jnp.zeros((1, nt), jnp.int32),
+         jnp.cumsum(vcnt, axis=0)[:-1]], axis=0)
+    base = seg_start_c[:-1][None, :] * gc + off_q  # (Q, nt)
+
+    def pcw(table):
+        """Piecewise-constant expansion table[q, key_q(i)] -> (Q, sp):
+        delta scatter at the run-start positions, then a prefix sum."""
+        prev = jnp.concatenate(
+            [jnp.zeros((q_n, 1), table.dtype), table[:, :-1]], axis=1)
+        qi = jnp.broadcast_to(
+            jnp.arange(q_n, dtype=jnp.int32)[:, None], (q_n, nt))
+        arr = jnp.zeros((q_n, sp + 1), jnp.int32)
+        arr = arr.at[qi, pos[:, :-1]].add(table - prev, mode="drop")
+        return jnp.cumsum(arr, axis=1)[:, :sp]
+
+    rank = cvx[:, :sp] - pcw(cv_at[:, :-1])        # index within (q, tile)
+    dest = jnp.where(valid, pcw(base) + rank, cap)
+
+    src = jnp.broadcast_to(jnp.arange(sp, dtype=jnp.int32)[None, :],
+                           dest.shape)
+    list_idx = jnp.full((cap,), sp, jnp.int32)
+    list_idx = list_idx.at[dest.reshape(-1)].set(src.reshape(-1),
+                                                mode="drop")
+
+    ck = jnp.arange(nchunks, dtype=jnp.int32)
+    tile_of = jnp.clip(
+        jnp.searchsorted(seg_start_c, ck, side="right").astype(jnp.int32) - 1,
+        0, nt - 1)
+    is_start = jnp.zeros((nchunks + 1,), jnp.bool_).at[
+        seg_start_c[:-1]].set(True, mode="drop")[:nchunks]
+    unused = ck >= used_chunks
+    flag = jnp.where(unused, -1, jnp.where(is_start, 1, 0))
+    tile_of = jnp.where(unused, nt - 1, tile_of)
+    tab = ((tile_of * 4 + (flag + 1)).astype(jnp.int32)[None, :])
+    return list_idx, tab, ok
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "h", "w", "th", "tw", "gc", "mr", "mc", "cap", "presorted", "fb_th",
+    "fb_tw", "fb_gc"))
+def _raster_fwd_call_exact(geom_t, col_t, *, h, w, th, tw, gc, mr, mc, cap,
+                           presorted, fb_th, fb_tw, fb_gc):
+    """Exact-list forward: each tile walks precisely the Gaussians whose
+    cull boxes overlap it (per-tile segments chunk-padded to `gc`). This
+    replaces the windowed path's y-range superset walk, which at trained
+    box statistics visits ~3.5x the exact volume (BENCH_NOTES round 4).
+    Falls back to the windowed path at runtime on span/capacity overflow
+    (e.g. init-saturated sigmas, where the expansion would not fit)."""
+    sp = geom_t.shape[1]
+    nc = col_t.shape[0]
+    n_th, n_tw = _cdiv(h, th), _cdiv(w, tw)
+    nt = n_th * n_tw
+    p = th * tw
+    nchunks = cap // gc
+
+    if not presorted:
+        fy0, fx0, _, _, _ = _corner_tiles(
+            jax.lax.stop_gradient(geom_t), h=h, w=w, th=th, tw=tw)
+        perm = jnp.argsort(fy0 * n_tw + fx0, stable=True)
+        geom_t = jnp.take(geom_t, perm, axis=1)
+        col_t = jnp.take(col_t, perm, axis=1)
+
+    list_idx, tab, ok = _exact_tables(geom_t, h=h, w=w, th=th, tw=tw, gc=gc,
+                                      mr=mr, mc=mc, cap=cap)
+
+    def exact(args):
+        geom_t, col_t, list_idx, tab = args
+        pad_col = jnp.zeros((GEOM_COLS, 1), jnp.float32)
+        pad_col = pad_col.at[G_SX, 0].set(1.0)
+        pad_col = pad_col.at[G_SY, 0].set(1.0)
+        pad_col = pad_col.at[G_XLO, 0].set(_PAD)
+        pad_col = pad_col.at[G_YLO, 0].set(_PAD)
+        pad_col = pad_col.at[G_XHI, 0].set(-_PAD)
+        pad_col = pad_col.at[G_YHI, 0].set(-_PAD)
+        glist = jnp.take(jnp.concatenate([geom_t, pad_col], axis=1),
+                         list_idx, axis=1)
+        clist = jnp.take(jnp.concatenate(
+            [col_t, jnp.zeros((nc, 1), jnp.float32)], axis=1),
+            list_idx, axis=1)
+        kernel = functools.partial(_fwd_kernel_list, th=th, tw=tw,
+                                   n_tw=n_tw, nc=nc)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nchunks,),
+            in_specs=[
+                pl.BlockSpec((GEOM_COLS, gc), lambda k, tab_ref: (0, k)),
+                pl.BlockSpec((nc, gc), lambda k, tab_ref: (0, k)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, nc, p), lambda k, tab_ref: (tab_ref[0, k] // 4, 0, 0)),
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nt, nc, p), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=_interpret(),
+        )(tab, glist, clist)
+        img = out.reshape(n_th, n_tw, nc, th, tw)
+        img = img.transpose(0, 3, 1, 4, 2).reshape(n_th * th, n_tw * tw, nc)
+        return img[:h, :w]
+
+    def fallback(args):
+        geom_t, col_t, _, _ = args
+        kc_fb = sp // fb_gc
+        if kc_fb >= 16:
+            win = int(min(kc_fb, max(64, -(-kc_fb // 4))))
+            return _raster_fwd_call_windowed(
+                geom_t, col_t, h=h, w=w, th=fb_th, tw=fb_tw, gc=fb_gc,
+                window=win)
+        return _raster_fwd_call(geom_t, col_t, h=h, w=w, th=fb_th,
+                                tw=fb_tw, gc=fb_gc)
+
+    return jax.lax.cond(ok, exact, fallback, (geom_t, col_t, list_idx, tab))
 
 
 def _class_list(rmax: int):
@@ -871,12 +1135,19 @@ def _raster_bwd_call(geom_t, col_t, g_img, *, h, w, th, tw, gc, window=0):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_dispatch(geom, col, h, w, th, tw, gc, rmax):
-    """Forward dispatch. rmax > 0 selects the size-classed segment forward
-    (rmax = the largest cull-box row extent in fine-tile units); otherwise
-    pick the windowed forward when the chunk count is large enough for
+def _fwd_dispatch(geom, col, h, w, th, tw, gc, rmax, exact_spec):
+    """Forward dispatch. exact_spec = (mr, mc, cap, presorted) with cap > 0
+    selects the exact-list forward; rmax > 0 the size-classed segment
+    forward (rmax = the largest cull-box row extent in fine-tile units);
+    otherwise the windowed forward when the chunk count is large enough for
     per-tile ranges to pay off, else the dense grid."""
     kc = geom.shape[1] // gc
+    if exact_spec is not None and exact_spec[2] > 0:
+        mr, mc, cap, presorted = exact_spec
+        return _raster_fwd_call_exact(
+            geom, col, h=h, w=w, th=_DEF_TH_BIN, tw=tw, gc=_DEF_GC_LIST,
+            mr=mr, mc=mc, cap=cap, presorted=bool(presorted), fb_th=th,
+            fb_tw=tw, fb_gc=gc)
     if rmax > 0:
         sp = geom.shape[1]
         n_th = _cdiv(h, _DEF_TH_BIN)
@@ -894,17 +1165,20 @@ def _fwd_dispatch(geom, col, h, w, th, tw, gc, rmax):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
-def _raster_core(geom, col, h, w, th, tw, gc, gc_bwd, rmax, window_bwd):
-    return _fwd_dispatch(geom, col, h, w, th, tw, gc, rmax)
+                   nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
+def _raster_core(geom, col, h, w, th, tw, gc, gc_bwd, rmax, window_bwd,
+                 exact_spec):
+    return _fwd_dispatch(geom, col, h, w, th, tw, gc, rmax, exact_spec)
 
 
-def _raster_core_fwd(geom, col, h, w, th, tw, gc, gc_bwd, rmax, window_bwd):
-    out = _fwd_dispatch(geom, col, h, w, th, tw, gc, rmax)
+def _raster_core_fwd(geom, col, h, w, th, tw, gc, gc_bwd, rmax, window_bwd,
+                     exact_spec):
+    out = _fwd_dispatch(geom, col, h, w, th, tw, gc, rmax, exact_spec)
     return out, (geom, col)
 
 
-def _raster_core_bwd(h, w, th, tw, gc, gc_bwd, rmax, window_bwd, res, g):
+def _raster_core_bwd(h, w, th, tw, gc, gc_bwd, rmax, window_bwd, exact_spec,
+                     res, g):
     # Backward runs with its own smaller tile/chunk so its ~8 concurrent
     # (th_bwd*tw, gc_bwd) f32 temporaries fit the ~16MB VMEM budget.
     geom, col = res
@@ -948,17 +1222,43 @@ def gs_render_px(geom, colors, canvas_hw: Sequence[int], *,
     geom = geom.astype(jnp.float32)
     colors = colors.astype(jnp.float32)
 
+    import math as _m
+    n_th_e, n_tw_e = _cdiv(h, _DEF_TH_BIN), _cdiv(w, tw)
+    if max_box_px is not None:
+        mbh_i = int(_m.ceil(float(max_box_px[0])))
+        mbw_i = int(_m.ceil(float(max_box_px[1])))
+        mr = min(n_th_e, _cdiv(max(mbh_i - 1, 1), _DEF_TH_BIN) + 1)
+        mc = min(n_tw_e, _cdiv(max(mbw_i - 1, 1), tw) + 1)
+    else:
+        mr, mc = n_th_e, n_tw_e
+    # Exact-list forward: opt-in only. The walk volume IS the structural
+    # floor (~3.5x below the windowed path at trained box statistics), but
+    # on this chip the XLA build primitives it needs run ~100x off HBM
+    # speed (measured with hard syncs: argsort 518k = 43 ms, 5.3M-row
+    # gather = 70 ms, 10M scatter = 101 ms, (20, 518k) cumsum = 36 ms), so
+    # the ~220 ms prep swamps the ~70 ms kernel saving. Opt in with
+    # binning="exact"; revisit if the build moves into Pallas.
+    use_exact = binning == "exact"
+
     # The size-classed segment forward requires the class-key sort below,
     # so it only engages when the spatial sort runs.
     rmax = 0
-    if (spatial_sort and s > gc
+    if (not use_exact and spatial_sort and s > gc
             and (binning == "on" or (binning == "auto" and s // gc >= 16))):
         mbh = max_box_px[0] if max_box_px is not None else h
         rmax = min(_cdiv(h, _DEF_TH_BIN), _cdiv(int(mbh) + 2, _DEF_TH_BIN))
 
+    presorted = False
     if spatial_sort and s > gc:
         g = jax.lax.stop_gradient(geom)
-        if rmax > 0:
+        if use_exact:
+            # The exact path's own sort order; marking it presorted skips
+            # a second argsort inside the call.
+            fy0, fx0, _, _, _ = _corner_tiles(g.T, h=h, w=w,
+                                              th=_DEF_TH_BIN, tw=tw)
+            key = fy0 * n_tw_e + fx0
+            presorted = True
+        elif rmax > 0:
             _, key, _ = _class_key(g.T, h=h, w=w, th=_DEF_TH_BIN, tw=tw,
                                    rmax=rmax)
         else:
@@ -1018,9 +1318,23 @@ def gs_render_px(geom, colors, canvas_hw: Sequence[int], *,
         if rows * cols <= (bw_nth * bw_ntw) // 2:
             window_bwd = rows * cols
 
+    exact_spec = (0, 0, 0, False)
+    if use_exact:
+        sp = geom.shape[0]
+        nt_e = n_th_e * n_tw_e
+        # Capacity: every tile owns >= 1 chunk plus the membership budget.
+        # When mr*mc <= the budget multiplier the expansion can never
+        # overflow (a box contributes at most mr*mc memberships) and the
+        # exact path runs unconditionally; larger spans (e.g. saturated
+        # init sigmas) trip the runtime check and fall back.
+        cap_mult = min(mr * mc, 10)
+        cap = _cdiv(nt_e * _DEF_GC_LIST + cap_mult * sp,
+                    _DEF_GC_LIST) * _DEF_GC_LIST
+        exact_spec = (mr, mc, cap, presorted)
+
     # Transpose to gaussians-along-lanes; autodiff maps grads back.
     return _raster_core(geom.T, colors.T, h, w, th, tw, gc, gc_bwd, rmax,
-                        window_bwd)
+                        window_bwd, exact_spec)
 
 
 def pack_geometry(sigmas, coords, image_size, dmax, y_offset=None,

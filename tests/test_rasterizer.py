@@ -453,3 +453,111 @@ def test_backward_float64_numerical_oracle(rng):
         scale = max(1.0, float(np.abs(b).max()))
         err = np.abs(np.asarray(a, np.float64) - b).max() / scale
         assert err < 1e-4, f"{name}: true rel-to-max error {err:.2e}"
+
+
+# ---------------------------------------------------------------------------
+# Exact-list forward (_raster_fwd_call_exact)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("s,size,dmax", [
+    (512, (40, 140), 0.3),
+    (2048, (64, 256), 0.15),
+    (700, (33, 129), 100.0),   # no static box bound: mr/mc = whole canvas
+])
+def test_exact_forward_matches_reference(rng, s, size, dmax):
+    sigmas, coords, colors = _mixed_gaussians(rng, s)
+    ref = gs_render_reference(sigmas, coords, colors, size, dmax)
+    out = gs_render(sigmas, coords, colors, size, dmax, gc=256,
+                    binning="exact")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_exact_tables_are_exact(rng):
+    """Every (tile, Gaussian) cull-box overlap pair appears exactly once in
+    the built lists — the defining property the windowed/classed paths only
+    approximate — and the capacity check reports ok (non-vacuous)."""
+    from gsasr_tpu.ops.rasterizer import (_corner_tiles, _exact_tables,
+                                          pack_geometry, GEOM_COLS)
+    s = 800
+    h, w, th, tw, gc = 48, 260, 8, 128, 256
+    sigmas, coords, colors = _mixed_gaussians(rng, s)
+    geom = pack_geometry(sigmas, coords, (h, w), 0.4)
+    g = np.asarray(geom)
+    n_th, n_tw = -(-h // th), -(-w // tw)
+    # sort by corner key as the caller would
+    fy0, fx0, _, _, _ = _corner_tiles(jnp.asarray(g.T), h=h, w=w, th=th,
+                                      tw=tw)
+    perm = np.argsort(np.asarray(fy0) * n_tw + np.asarray(fx0),
+                      kind="stable")
+    g = g[perm]
+    mr, mc = n_th, n_tw
+    cap = (n_th * n_tw + -(-min(mr * mc, 10) * s // gc) + 1) * gc
+    list_idx, tab, ok = _exact_tables(jnp.asarray(g.T), h=h, w=w, th=th,
+                                      tw=tw, gc=gc, mr=mr, mc=mc, cap=cap)
+    assert bool(ok), "capacity must suffice for this workload"
+    list_idx, tab = np.asarray(list_idx), np.asarray(tab)[0]
+    # reconstruct membership set from the kernel's walk
+    got = set()
+    for k in range(len(tab)):
+        t, flag = tab[k] // 4, tab[k] % 4 - 1
+        if flag < 0:
+            continue
+        for slot in range(k * gc, (k + 1) * gc):
+            i = list_idx[slot]
+            if i < s:
+                assert (t, i) not in got, "duplicate membership"
+                got.add((t, i))
+    # expected: brute-force box/tile overlap
+    want = set()
+    for i in range(s):
+        xlo, xhi, ylo, yhi = g[i, 5], g[i, 6], g[i, 7], g[i, 8]
+        if xhi < 0 or xlo > w - 1 or yhi < 0 or ylo > h - 1 \
+                or xhi < xlo or yhi < ylo:
+            continue
+        for ti in range(int(max(ylo, 0) // th), int(min(yhi, h - 1) // th) + 1):
+            for tj in range(int(max(xlo, 0) // tw),
+                            int(min(xhi, w - 1) // tw) + 1):
+                want.add((ti * n_tw + tj, i))
+    assert got == want
+
+
+def test_exact_forward_overflow_falls_back(rng):
+    """Saturated-box statistics exceed the 10x membership budget: the
+    runtime check must route to the windowed fallback, still correct."""
+    from gsasr_tpu.ops.rasterizer import (_corner_tiles, _exact_tables,
+                                          pack_geometry)
+    s = 3000
+    size = (256, 256)
+    sigmas = 5 * rng.random((s, 3), dtype=np.float32) + 0.5
+    sigmas[:, 2] = 0.0
+    coords = 2 * rng.random((s, 2), dtype=np.float32) - 1.0
+    colors = rng.random((s, 3), dtype=np.float32)
+    a = [jnp.asarray(x) for x in (sigmas, coords, colors)]
+    # verify non-vacuously that this workload DOES overflow the tables
+    geom = pack_geometry(a[0], a[1], size, 0.9)
+    h, w, th, tw, gc = size[0], size[1], 8, 128, 256
+    n_th, n_tw = -(-h // th), -(-w // tw)
+    mr = min(n_th, (int(0.9 * (h - 1)) + th - 1) // th + 1)
+    mc = min(n_tw, (int(0.9 * (w - 1)) + tw - 1) // tw + 1)
+    cap = (n_th * n_tw + -(-min(mr * mc, 10) * s // gc) + 1) * gc
+    _, _, ok = _exact_tables(jnp.asarray(np.asarray(geom).T), h=h, w=w,
+                             th=th, tw=tw, gc=gc, mr=mr, mc=mc, cap=cap)
+    assert not bool(ok), "workload must overflow for this test to bite"
+    out = np.asarray(gs_render(*a, size, 0.9, gc=256, binning="exact"))
+    ref = np.asarray(gs_render(*a, size, 0.9, gc=256, binning="off",
+                               spatial_sort=False))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_exact_forward_deterministic(rng):
+    s = 4000
+    sigmas = 0.2 * rng.random((s, 3), dtype=np.float32) + 1e-2
+    sigmas[:, 2] = 0.0
+    coords = 2 * rng.random((s, 2), dtype=np.float32) - 1.0
+    colors = rng.random((s, 3), dtype=np.float32)
+    a = [jnp.asarray(x) for x in (sigmas, coords, colors)]
+    x1 = np.asarray(gs_render(*a, (64, 256), 0.3, binning="exact", gc=256))
+    x2 = np.asarray(gs_render(*a, (64, 256), 0.3, binning="exact", gc=256))
+    assert np.array_equal(x1, x2)
