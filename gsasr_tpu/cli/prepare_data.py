@@ -130,8 +130,235 @@ def multiscale(src: str, dst: str = None, shortest_edge: int = 512,
     print(f"wrote {n} multiscale images to {dst}")
 
 
+def _load_palette(palette_src):
+    palette = None
+    if palette_src and os.path.isdir(palette_src):
+        pix = []
+        for name in sorted(os.listdir(palette_src)):
+            img = _imread(Path(palette_src) / name)
+            if img is not None:
+                pix.append(img.reshape(-1, img.shape[-1])[::7])
+        if pix:
+            palette = np.concatenate(pix, axis=0)
+    return palette
+
+
+def _pick_colors(rng, palette, n):
+    if palette is not None:
+        return palette[rng.integers(0, len(palette), n)].astype(np.float32)
+    return rng.integers(0, 256, (n, 3)).astype(np.float32)
+
+
+def _gradient_bg(rng, big, palette):
+    """Smooth linear gradient between two palette colors (float32 HxWx3)."""
+    c0, c1 = _pick_colors(rng, palette, 2)
+    ang = rng.uniform(0, 2 * np.pi)
+    yy, xx = np.mgrid[0:big, 0:big].astype(np.float32) / big
+    t = (np.cos(ang) * xx + np.sin(ang) * yy)
+    t = (t - t.min()) / max(t.max() - t.min(), 1e-6)
+    return c0[None, None] * (1 - t[..., None]) + c1[None, None] * t[..., None]
+
+
+def _luma(c):
+    # BGR order (cv2 convention used throughout this module)
+    return 0.114 * c[..., 0] + 0.587 * c[..., 1] + 0.299 * c[..., 2]
+
+
+def _contrast_color(rng, palette, bg_mean):
+    """Palette color with |luma - bg| >= 60 (flip to black/white if the
+    palette can't provide contrast after a few draws)."""
+    for _ in range(8):
+        c = _pick_colors(rng, palette, 1)[0]
+        if abs(_luma(c) - _luma(bg_mean)) >= 60:
+            return c
+    return (np.zeros(3, np.float32) if _luma(bg_mean) > 127
+            else np.full(3, 255, np.float32))
+
+
+_FONT_DIR = None
+
+
+def _font_paths():
+    global _FONT_DIR
+    if _FONT_DIR is None:
+        import matplotlib
+        d = Path(matplotlib.get_data_path()) / "fonts" / "ttf"
+        _FONT_DIR = sorted(str(p) for p in d.glob("*.ttf"))
+    return _FONT_DIR
+
+
+_CHARSET = ("abcdefghijklmnopqrstuvwxyz" "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+            "0123456789" ".,;:!?-")
+
+
+def _rand_word(rng, lo=2, hi=10):
+    k = int(rng.integers(lo, hi + 1))
+    return "".join(_CHARSET[i] for i in rng.integers(0, len(_CHARSET), k))
+
+
+def _gen_text(rng, big, palette):
+    """Rendered text/glyphs: paragraphs, scattered rotated words, or large
+    single glyphs on a smooth gradient background. Text is a strong prior
+    for the thin-stroke / high-contrast-edge structures natural corpora
+    underrepresent (document photos, signage, Manga109-style content)."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    bg = _gradient_bg(rng, big, palette)
+    canvas = Image.fromarray(np.clip(bg, 0, 255).astype(np.uint8))
+    fonts = _font_paths()
+    mode = ["paragraph", "words", "glyphs"][int(rng.integers(0, 3))]
+    bg_mean = bg.mean(axis=(0, 1))
+
+    if mode == "paragraph":
+        fs = int(rng.integers(18, 56))
+        font = ImageFont.truetype(fonts[int(rng.integers(0, len(fonts)))], fs)
+        col = _contrast_color(rng, palette, bg_mean)
+        draw = ImageDraw.Draw(canvas)
+        y = int(rng.integers(0, fs))
+        while y < big:
+            words = " ".join(_rand_word(rng) for _ in range(12))
+            draw.text((int(rng.integers(0, fs)), y), words,
+                      fill=tuple(int(v) for v in col), font=font)
+            y += int(fs * rng.uniform(1.1, 1.8))
+    elif mode == "words":
+        n_words = int(rng.integers(25, 70))
+        for _ in range(n_words):
+            fs = int(rng.integers(20, 130))
+            font = ImageFont.truetype(
+                fonts[int(rng.integers(0, len(fonts)))], fs)
+            word = _rand_word(rng, 2, 8)
+            col = _contrast_color(rng, palette, bg_mean)
+            patch = Image.new("RGBA", (fs * 9, fs * 2), (0, 0, 0, 0))
+            ImageDraw.Draw(patch).text(
+                (4, 4), word, font=font,
+                fill=tuple(int(v) for v in col) + (255,))
+            ang = float(rng.choice([0.0, 0.0, 0.0, 90.0, 270.0,
+                                    rng.uniform(-35, 35)]))
+            if ang:
+                patch = patch.rotate(ang, expand=True,
+                                     resample=Image.BICUBIC)
+            x = int(rng.integers(-fs, big - fs // 2))
+            y = int(rng.integers(-fs, big - fs // 2))
+            canvas.paste(patch, (x, y), patch)
+    else:
+        for _ in range(int(rng.integers(4, 14))):
+            fs = int(rng.integers(200, 520))
+            font = ImageFont.truetype(
+                fonts[int(rng.integers(0, len(fonts)))], fs)
+            ch = _CHARSET[int(rng.integers(0, 62))]
+            col = _pick_colors(rng, palette, 1)[0]
+            ImageDraw.Draw(canvas).text(
+                (int(rng.integers(-fs // 2, big - fs // 2)),
+                 int(rng.integers(-fs // 2, big - fs // 2))),
+                ch, font=font, fill=tuple(int(v) for v in col))
+    return np.asarray(canvas, np.uint8)
+
+
+def _colormap(rng, palette, t):
+    """Map a [0,1] field through a 3-stop palette-color gradient."""
+    stops = _pick_colors(rng, palette, 3)
+    t = np.clip(t, 0.0, 1.0)[..., None]
+    lo = stops[0] + (stops[1] - stops[0]) * np.minimum(t * 2, 1.0)
+    return lo + (stops[2] - stops[1]) * np.maximum(t * 2 - 1.0, 0.0)
+
+
+def _gen_texture(rng, big, palette):
+    """Procedural textures: multi-octave value noise (1/f^beta spectra),
+    oriented sinusoid mixtures, or Voronoi mosaics — band-limited and
+    quasi-periodic structure (fabric, foliage, masonry) that dead-leaves'
+    flat discs lack entirely."""
+    import cv2
+    kind = ["noise", "waves", "voronoi"][int(rng.integers(0, 3))]
+    if kind == "noise":
+        beta = rng.uniform(0.7, 1.8)
+        field = np.zeros((big, big), np.float32)
+        for i, g in enumerate([4, 8, 16, 32, 64, 128]):
+            layer = cv2.resize(rng.random((g, g), dtype=np.float32),
+                               (big, big), interpolation=cv2.INTER_CUBIC)
+            field += layer / (2.0 ** (beta * i))
+        field = (field - field.min()) / max(np.ptp(field), 1e-6)
+        return np.clip(_colormap(rng, palette, field), 0, 255).astype(
+            np.uint8)
+    if kind == "waves":
+        yy, xx = np.mgrid[0:big, 0:big].astype(np.float32) / big
+        field = np.zeros((big, big), np.float32)
+        for _ in range(int(rng.integers(3, 7))):
+            ang = rng.uniform(0, np.pi)
+            freq = rng.uniform(4, 60)
+            ph = rng.uniform(0, 2 * np.pi)
+            field += rng.uniform(0.3, 1.0) * np.sin(
+                2 * np.pi * freq * (np.cos(ang) * xx + np.sin(ang) * yy)
+                + ph)
+        field = (field - field.min()) / max(np.ptp(field), 1e-6)
+        return np.clip(_colormap(rng, palette, field), 0, 255).astype(
+            np.uint8)
+    # voronoi mosaic
+    n_seed = int(rng.integers(40, 400))
+    sx = rng.integers(0, big, n_seed).astype(np.float32)
+    sy = rng.integers(0, big, n_seed).astype(np.float32)
+    cols = _pick_colors(rng, palette, n_seed)
+    yy, xx = np.mgrid[0:big, 0:big].astype(np.float32)
+    label = np.zeros((big, big), np.int32)
+    best = np.full((big, big), np.inf, np.float32)
+    for k0 in range(0, n_seed, 64):
+        k1 = min(k0 + 64, n_seed)
+        d = ((xx[..., None] - sx[None, None, k0:k1]) ** 2
+             + (yy[..., None] - sy[None, None, k0:k1]) ** 2)
+        kmin = d.argmin(-1)
+        dmin = np.take_along_axis(d, kmin[..., None], -1)[..., 0]
+        upd = dmin < best
+        label[upd] = kmin[upd] + k0
+        best[upd] = dmin[upd]
+    img = cols[label]
+    edge = ((np.diff(label, axis=0, prepend=label[:1]) != 0)
+            | (np.diff(label, axis=1, prepend=label[:, :1]) != 0))
+    img[edge] *= rng.uniform(0.3, 0.7)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _gen_composite(rng, big, palette):
+    """Piecewise-smooth composites: occluding polygons/ellipses each filled
+    with a linear gradient between palette colors over a gradient
+    background — cartoon/illustration-like images whose within-region
+    smoothness + sharp boundaries match the piecewise-smooth image model."""
+    from PIL import Image, ImageDraw
+
+    canvas = _gradient_bg(rng, big, palette)
+    n_shapes = int(rng.integers(10, 28))
+    yy, xx = np.mgrid[0:big, 0:big].astype(np.float32) / big
+    for _ in range(n_shapes):
+        cx, cy = rng.integers(0, big, 2)
+        r = rng.uniform(0.06, 0.45) * big
+        mask_img = Image.new("L", (big, big), 0)
+        d = ImageDraw.Draw(mask_img)
+        shape = ["poly", "ellipse"][int(rng.integers(0, 2))]
+        if shape == "poly":
+            nv = int(rng.integers(3, 9))
+            angs = np.sort(rng.uniform(0, 2 * np.pi, nv))
+            rad = r * rng.uniform(0.5, 1.0, nv)
+            pts = [(float(cx + rad[i] * np.cos(angs[i])),
+                    float(cy + rad[i] * np.sin(angs[i])))
+                   for i in range(nv)]
+            d.polygon(pts, fill=255)
+        else:
+            ar = rng.uniform(0.4, 1.0)
+            d.ellipse([cx - r, cy - r * ar, cx + r, cy + r * ar], fill=255)
+        mask = np.asarray(mask_img) > 0
+        if not mask.any():
+            continue
+        c0, c1 = _pick_colors(rng, palette, 2)
+        ang = rng.uniform(0, 2 * np.pi)
+        t = np.cos(ang) * xx + np.sin(ang) * yy
+        t = (t - t.min()) / max(t.max() - t.min(), 1e-6)
+        fill = c0[None, None] * (1 - t[..., None]) + c1[None, None] * \
+            t[..., None]
+        canvas[mask] = fill[mask]
+    return np.clip(canvas, 0, 255).astype(np.uint8)
+
+
 def synthetic(dst: str, n: int = 400, size: int = 256, seed: int = 0,
-              palette_src: str = None, workers: int = 2):
+              palette_src: str = None, workers: int = 2,
+              family: str = "dead-leaves"):
     """Dead-leaves synthetic training images (occlusion model with a
     power-law radius distribution) — a standard regularity prior for
     restoration training when natural data is scarce (scale-invariant
@@ -149,18 +376,28 @@ def synthetic(dst: str, n: int = 400, size: int = 256, seed: int = 0,
     import numpy as np
 
     os.makedirs(dst, exist_ok=True)
-    palette = None
-    if palette_src and os.path.isdir(palette_src):
-        pix = []
-        for name in sorted(os.listdir(palette_src)):
-            img = _imread(Path(palette_src) / name)
-            if img is not None:
-                pix.append(img.reshape(-1, img.shape[-1])[::7])
-        if pix:
-            palette = np.concatenate(pix, axis=0)
+    palette = _load_palette(palette_src)
 
     ss = 2  # supersampling factor
     big = size * ss
+
+    if family != "dead-leaves":
+        gen = {"text": _gen_text, "texture": _gen_texture,
+               "composite": _gen_composite}[family]
+        tag = {"text": "tx", "texture": "pt", "composite": "pc"}[family]
+
+        def one_f(i):
+            rng = np.random.default_rng(seed * 100003 + i)
+            img = gen(rng, big, palette)
+            out = cv2.resize(img, (size, size),
+                             interpolation=cv2.INTER_LANCZOS4)
+            cv2.imwrite(str(Path(dst) / f"{tag}{i:05d}.png"), out)
+
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(one_f, range(n)))
+        print(f"wrote {n} {family} {size}^2 images to {dst}")
+        return
 
     def one(i):
         rng = np.random.default_rng(seed * 100003 + i)
@@ -242,6 +479,8 @@ def main():
     y.add_argument("--seed", type=int, default=0)
     y.add_argument("--palette-src", default=None)
     y.add_argument("--workers", type=int, default=2)
+    y.add_argument("--family", default="dead-leaves",
+                   choices=["dead-leaves", "text", "texture", "composite"])
 
     args = p.parse_args()
     if args.cmd == "extract-subimages":
@@ -255,7 +494,7 @@ def main():
         multiscale(args.src, args.dst, args.shortest_edge)
     elif args.cmd == "synthetic":
         synthetic(args.dst, args.n, args.size, args.seed, args.palette_src,
-                  args.workers)
+                  args.workers, args.family)
 
 
 if __name__ == "__main__":

@@ -81,3 +81,25 @@ EOF
 
 echo "r3 corpus: $(ls datasets/train_sub2 | wc -l) sub-images (train_sub2)"
 echo "r4 corpus: $(ls datasets/train_sub3 | wc -l) sub-images (train_sub3)"
+
+# r5 corpus (v3): natural x3 + 4 synthetic families (dead-leaves kept from
+# train_dl3, plus text / procedural-texture / piecewise-smooth composites
+# — see `prepare_data synthetic --family`). ~45% natural by count.
+python -m gsasr_tpu.cli.prepare_data synthetic --dst datasets/train_tx5 \
+    --n 140 --family text --palette-src datasets/src6 --workers 4
+python -m gsasr_tpu.cli.prepare_data synthetic --dst datasets/train_pt5 \
+    --n 140 --family texture --palette-src datasets/src6 --workers 4
+python -m gsasr_tpu.cli.prepare_data synthetic --dst datasets/train_pc5 \
+    --n 180 --family composite --palette-src datasets/src6 --workers 4
+mkdir -p datasets/train_sub4
+ls datasets/train_dl3 | head -300 | while read f; do
+    cp "datasets/train_dl3/$f" datasets/train_sub4/; done
+cp datasets/train_tx5/* datasets/train_pt5/* datasets/train_pc5/* \
+   datasets/train_sub4/
+for f in datasets/train_nat3/*; do
+    b=$(basename "$f")
+    cp "$f" "datasets/train_sub4/$b"
+    cp "$f" "datasets/train_sub4/dup_$b"
+    cp "$f" "datasets/train_sub4/dup2_$b"
+done
+echo "r5 corpus: $(ls datasets/train_sub4 | wc -l) sub-images (train_sub4)"
