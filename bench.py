@@ -50,6 +50,9 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_MS = 250.0  # estimated A100 reference total (see module docstring)
+# Minimum checkpoint step for the "trained" weights label; below this the
+# JSON says "early" (half the 20k ladder = first LR milestone).
+MIN_TRAINED_STEP = 10000
 
 # Per-chip structural peaks by device kind (public spec sheets).
 PEAK_HBM_BPS = {
@@ -123,7 +126,11 @@ def main():
         enc_params, dec_params = load_eval_params(ckpt)
         enc_params = jax.device_put(enc_params)
         dec_params = jax.device_put(dec_params)
-        weights = "trained"
+        # Refuse the "trained" label for early checkpoints (VERDICT r4
+        # weak #1): walk-volume-dependent stages are sigma-dependent, so
+        # a headline number silently riding a 2k-iter ckpt is misleading.
+        step = int(os.path.basename(ckpt))
+        weights = "trained" if step >= MIN_TRAINED_STEP else "early"
     else:
         ckpt = None
         enc_params = enc.init(rng, jnp.zeros((1, 12, 12, 3)))["params"]
@@ -177,12 +184,20 @@ def main():
     vpu = next((v for k, v in PEAK_VPU_OPS.items() if k in kind), None)
 
     render_bound_frac = None
+    sigma_px_p50 = sigma_px_p90 = None
     if vpu:
         try:
             from gsasr_tpu.ops.rasterizer import pack_geometry
             from gsasr_tpu.rendering import prepare_kernel_inputs
             sg, kc, _, fdmax, _ = prepare_kernel_inputs(
                 sr, gs[0], jnp.float32(scale), dmax_mode="fix", dmax=0.1)
+            # sigma in px (kernel units span 2/(n-1) per px) — recorded so
+            # walk-volume-dependent numbers are interpretable across rounds
+            # (VERDICT r4 #7)
+            s_np = np.asarray(sg[:, :2])
+            s_px = s_np * np.array([(sr[1] - 1) / 2.0, (sr[0] - 1) / 2.0])
+            sigma_px_p50, sigma_px_p90 = (
+                round(float(np.percentile(s_px, p)), 3) for p in (50, 90))
             gm = np.asarray(pack_geometry(sg, kc, sr, fdmax))
             xlo = np.clip(gm[:, 5], 0, sr[1] - 1)
             xhi = np.clip(gm[:, 6], 0, sr[1] - 1)
@@ -232,6 +247,8 @@ def main():
         "stage_iqr_ms": {"null": null_iqr, "encoder": enc_iqr,
                          "decoder": dec_iqr, "render": ren_iqr},
         "render_walk_bound_frac": render_bound_frac,
+        "sigma_px_p50": sigma_px_p50,
+        "sigma_px_p90": sigma_px_p90,
         "decoder_mem_bound_frac": decoder_bound_frac,
         "hr_pixels_per_s": round(sr[0] * sr[1] / dt),
         "peak_mem_bytes": peak_mem,

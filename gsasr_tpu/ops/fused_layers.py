@@ -57,7 +57,8 @@ def _mm(a, b):
 
 
 def _k_ln_mlp(x_ref, resi_ref, inj_ref, ln_w_ref, ln_b_ref, w1_ref, b1_ref,
-              w2_ref, b2_ref, o_ref, *, has_ln, has_inj, has_resi):
+              w2_ref, b2_ref, o_ref, *, has_ln, has_inj, has_resi,
+              zero_base):
     wb = x_ref.shape[0]
     for w in range(wb):
         t = x_ref[w].astype(jnp.float32)
@@ -70,16 +71,23 @@ def _k_ln_mlp(x_ref, resi_ref, inj_ref, ln_w_ref, ln_b_ref, w1_ref, b1_ref,
         z = jnp.maximum(z, 0.0).astype(x_ref.dtype)
         z = _mm(z, w2_ref[...].astype(z.dtype)) + b2_ref[0].astype(
             jnp.float32)
-        base = resi_ref[w].astype(jnp.float32) if has_resi else t
+        if zero_base:
+            base = 0.0
+        elif has_resi:
+            base = resi_ref[w].astype(jnp.float32)
+        else:
+            base = t
         o_ref[w] = (base + z).astype(o_ref.dtype)
 
 
 def ln_mlp_residual(x, *, w1, b1, w2, b2, ln_w=None, ln_b=None, inj=None,
-                    resi=None, block_b: int = 8):
-    """out = (resi | x+inj) + fc2(relu(fc1(LN?(x + inj?)))).
+                    resi=None, block_b: int = 8, zero_base: bool = False):
+    """out = (0 | resi | x+inj) + fc2(relu(fc1(LN?(x + inj?)))).
 
     x: (B, T, C); inj: (B, C) broadcast over T; resi: (B, T, C) when the
-    residual base differs from x+inj (decoder block tails).
+    residual base differs from x+inj (decoder block tails); zero_base=True
+    returns the bare MLP output (RoPE block tails, where a lattice conv
+    sits between the MLP and the residual add).
     """
     b, t, c = x.shape
     hid = w1.shape[1]
@@ -113,7 +121,7 @@ def ln_mlp_residual(x, *, w1, b1, w2, b2, ln_w=None, ln_b=None, inj=None,
 
     out = pl.pallas_call(
         functools.partial(_k_ln_mlp, has_ln=has_ln, has_inj=has_inj,
-                          has_resi=has_resi),
+                          has_resi=has_resi, zero_base=zero_base),
         grid=grid,
         in_specs=[xspec, rspec, ispec, vec(c), vec(c), mat(c, hid),
                   vec(hid), mat(hid, c), vec(c)],
@@ -129,9 +137,20 @@ def ln_mlp_residual(x, *, w1, b1, w2, b2, ln_w=None, ln_b=None, inj=None,
     return out[:b]
 
 
+def _rope_rotate(x, cos, sin):
+    """Pair rotation on packed (t, c) f32 operands: even/odd lanes form the
+    complex pairs; cos/sin are pair-duplicated (t, c) tables."""
+    t, c = x.shape
+    xr = x.reshape(t, c // 2, 2)
+    xs = jnp.stack([-xr[..., 1], xr[..., 0]], axis=-1).reshape(t, c)
+    return x * cos + xs * sin
+
+
 def _k_ln_attn(x_ref, pos_ref, kv_ref, ln_w_ref, ln_b_ref, wq_ref, bq_ref,
                wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref, bias_ref,
-               o_ref, *, num_heads, scale, has_pos, has_kv):
+               cosq_ref, sinq_ref, cosk_ref, sink_ref,
+               o_ref, *, num_heads, scale, has_pos, has_kv, has_bias,
+               has_rope):
     wb, t, c = x_ref.shape
     hd = c // num_heads
     for w in range(wb):
@@ -146,6 +165,10 @@ def _k_ln_attn(x_ref, pos_ref, kv_ref, ln_w_ref, ln_b_ref, wq_ref, bq_ref,
             jnp.float32)
         v = _mm(src, wv_ref[...].astype(src.dtype)) + bv_ref[0].astype(
             jnp.float32)
+        if has_rope:
+            # rotation in f32 (the reference disables autocast for RoPE)
+            q = _rope_rotate(q, cosq_ref[0], sinq_ref[0])
+            k = _rope_rotate(k, cosk_ref[0], sink_ref[0])
         q = q.astype(x_ref.dtype)
         k = k.astype(x_ref.dtype)
         v = v.astype(x_ref.dtype)
@@ -155,7 +178,9 @@ def _k_ln_attn(x_ref, pos_ref, kv_ref, ln_w_ref, ln_b_ref, wq_ref, bq_ref,
             s = jax.lax.dot_general(
                 q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            s = s * scale + bias_ref[h]
+            s = s * scale
+            if has_bias:
+                s = s + bias_ref[h]
             s = s - jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s)
             p = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -170,15 +195,20 @@ def _k_ln_attn(x_ref, pos_ref, kv_ref, ln_w_ref, ln_b_ref, wq_ref, bq_ref,
         o_ref[w] = out.astype(o_ref.dtype)
 
 
-def ln_attn_proj(x, *, wq, bq, wk, bk, wv, bv, wo, bo, bias, ln_w, ln_b,
-                 num_heads: int, pos=None, kv=None, scale=None,
-                 block_b: int = 8):
-    """out = proj(MHA(LN(x) (+pos), kv | self, bias)) — residual outside.
+def ln_attn_proj(x, *, wq, bq, wk, bk, wv, bv, wo, bo, ln_w, ln_b,
+                 num_heads: int, bias=None, pos=None, kv=None, scale=None,
+                 rope_cos_q=None, rope_sin_q=None, rope_cos_k=None,
+                 rope_sin_k=None, block_b: int = 8):
+    """out = proj(MHA(rope?(LN(x) (+pos)), kv | self, bias?)) — residual
+    outside.
 
     x: (B, Tq, C); kv: (B, Tk, C) for cross-attention (un-normed, matching
     the decoder's feat windows) or None for self-attention; pos: (Tq, C)
     additive query positional embedding applied AFTER the LN (reference
-    `fea2gs.py:217` x + query_pos); bias: (num_heads, Tq, Tk) f32.
+    `fea2gs.py:217` x + query_pos); bias: (num_heads, Tq, Tk) f32 or None;
+    rope_{cos,sin}_{q,k}: (T, C) pair-duplicated rotation tables f32 (the
+    Enhanced family's mixed RoPE, `fea2gsropeamp.py:107-150`) applied to
+    the projected q/k in-kernel.
     """
     b, tq, c = x.shape
     tk = kv.shape[1] if kv is not None else tq
@@ -186,6 +216,8 @@ def ln_attn_proj(x, *, wq, bq, wk, bk, wv, bv, wo, bo, bias, ln_w, ln_b,
         scale = (c // num_heads) ** -0.5
     has_pos = pos is not None
     has_kv = kv is not None
+    has_bias = bias is not None
+    has_rope = rope_cos_q is not None
 
     wb, bp = _block_b_with_pad(b, block_b)
     xp = _pad_axis0(x, bp)
@@ -208,18 +240,32 @@ def ln_attn_proj(x, *, wq, bq, wk, bk, wv, bv, wo, bo, bias, ln_w, ln_b,
                                  memory_space=pltpu.VMEM)
     mat = lambda m, n: pl.BlockSpec((m, n), lambda i: (0, 0),
                                     memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((num_heads, tq, tk), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM)
+    bspec = (pl.BlockSpec((num_heads, tq, tk), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM) if has_bias else
+             pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM))
+    bias_in = (bias.astype(jnp.float32) if has_bias
+               else jnp.zeros((1, 1, 1), jnp.float32))
+    if has_rope:
+        ropes = [r.reshape(1, *r.shape).astype(jnp.float32)
+                 for r in (rope_cos_q, rope_sin_q, rope_cos_k, rope_sin_k)]
+        rspecs = [pl.BlockSpec((1, r.shape[1], c), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM) for r in ropes]
+    else:
+        ropes = [jnp.zeros((1, 1, 1), jnp.float32)] * 4
+        rspecs = [pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)] * 4
 
     hd = c // num_heads
     out = pl.pallas_call(
         functools.partial(_k_ln_attn, num_heads=num_heads,
                           scale=float(scale), has_pos=has_pos,
-                          has_kv=has_kv),
+                          has_kv=has_kv, has_bias=has_bias,
+                          has_rope=has_rope),
         grid=grid,
         in_specs=[xspec, pspec, kvspec, vec(c), vec(c),
                   mat(c, c), vec(c), mat(c, c), vec(c), mat(c, c), vec(c),
-                  mat(c, c), vec(c), bspec],
+                  mat(c, c), vec(c), bspec, *rspecs],
         out_specs=xspec,
         out_shape=jax.ShapeDtypeStruct((bp, tq, c), x.dtype),
         cost_estimate=pl.CostEstimate(
@@ -229,5 +275,5 @@ def ln_attn_proj(x, *, wq, bq, wk, bk, wv, bv, wo, bo, bias, ln_w, ln_b,
         interpret=_interpret(),
     )(xp, posp, kvp, ln_w.reshape(1, c), ln_b.reshape(1, c),
       wq, bq.reshape(1, c), wk, bk.reshape(1, c), wv, bv.reshape(1, c),
-      wo, bo.reshape(1, c), bias.astype(jnp.float32))
+      wo, bo.reshape(1, c), bias_in, *ropes)
     return out[:b]

@@ -67,11 +67,9 @@ _DEF_GC = 1024
 # dim in the transposed layout so it must be a multiple of 128.
 _DEF_TH_BWD = 8
 _DEF_GC_BWD = 512
-# Segment-binned forward: per-tile corner-neighborhood walks on short
-# (8, 128) tiles so a small Gaussian is evaluated against ~1k pixels instead
-# of 4k; see _raster_fwd_call_binned.
+# Exact-list forward tile height: short (8, 128) tiles so a small Gaussian
+# is evaluated against ~1k pixels instead of 4k; see _raster_fwd_call_exact.
 _DEF_TH_BIN = 8
-_DEF_GC_BIN = 256
 
 
 def _interpret() -> bool:
@@ -333,71 +331,17 @@ def _bwd_kernel_windowed(rect_ref, bbox_ref, geom_ref, col_ref, g_ref,
                   dgeom_ref, dcol_ref)
 
 
-def _seg_chunk(tab_ref, t, k, kc, n_ranges):
-    """Piecewise chunk selection over tile t's ranges; tab rows
-    [0, n_ranges) are range chunk starts, rows [n_ranges, 2*n_ranges) the
-    cumulative chunk counts."""
-    n = n_ranges
-    c = tab_ref[n - 1, t] + (k - tab_ref[2 * n - 2, t])
-    for i in range(n - 2, -1, -1):
-        prev = tab_ref[n + i - 1, t] if i > 0 else 0
-        c = jnp.where(k < tab_ref[n + i, t],
-                      tab_ref[i, t] + (k - prev), c)
-    return jnp.clip(c, 0, kc - 1)
-
-
-def _fwd_kernel_seg(tab_ref, geom_ref, col_ref, out_ref, *, th, tw, n_tw,
-                    nc, kc, n_ranges):
-    """Forward over per-tile segment ranges of the class-sorted Gaussian
-    array (see `_raster_fwd_call_binned`): the k-th step of tile t walks the
-    concatenation of its chunk ranges, masked past the total. No bbox
-    test — a range is a superset of the exact per-tile list only through
-    chunk-boundary rounding and bin granularity, and every extra Gaussian
-    is nulled by the per-pixel cull-box mask."""
-    t = pl.program_id(0)
-    k = pl.program_id(1)
-
-    @pl.when(k == 0)
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
-
-    tile_i = t // n_tw
-    tile_j = t - tile_i * n_tw
-
-    @pl.when(k < tab_ref[2 * n_ranges - 1, t])
-    def _():
-        xpix, ypix = _pixel_xy(tile_i, tile_j, th, tw)
-        sx, sy, rho, cx, cy, xlo, xhi, ylo, yhi = _load_rows(geom_ref)
-
-        dx = xpix - cx
-        dy = ypix - cy
-        inv_sx = 1.0 / sx
-        inv_sy = 1.0 / sy
-        w2 = inv_sx * inv_sx
-        w3 = inv_sx * inv_sy
-        w4 = inv_sy * inv_sy
-        w1 = -0.5 / (1.0 - rho * rho)
-        quad = w2 * (dx * dx) - (2.0 * rho * w3) * (dx * dy) + w4 * (dy * dy)
-        v = jnp.exp(w1 * quad)
-        mask = (xpix >= xlo) & (xpix <= xhi) & (ypix >= ylo) & (ypix <= yhi)
-        v = jnp.where(mask, v, 0.0)
-        contrib = jax.lax.dot_general(
-            v, col_ref[...],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        out_ref[0, :, :] += contrib
-
-
 def _fwd_kernel_list(tab_ref, geom_ref, col_ref, out_ref, *, th, tw, n_tw,
                      nc):
-    """Forward over per-tile EXACT Gaussian lists: grid step k processes the
-    k-th chunk of the gathered list array; tab rows are [tile, flag] with
-    flag 1 = first chunk of its tile (zero the block), 0 = continuation,
-    -1 = unused trailing capacity (skip). Every listed Gaussian's cull box
-    overlaps its tile by construction, so there is no chunk bbox test; pad
-    slots carry inverted boxes and are nulled by the per-pixel mask. tab is
-    packed `tile*4 + (flag+1)` (one int32/chunk keeps SMEM small).
+    """Forward over per-tile Gaussian-chunk lists: grid step k processes
+    one chunk; tab row 0 is packed `tile*4 + (flag+1)` with flag
+    1 = first chunk of its tile (zero the block then walk), 0 =
+    continuation, 2 = zero-only (empty tile), -1 = unused trailing
+    capacity (skip). Serves both the exact-list path (gathered list
+    array, consecutive chunk blocks) and the engaged-chunk-list path
+    (tab row 1 holds the source chunk id the block index maps follow).
+    There is no chunk bbox test; any stray/pad Gaussian is nulled by the
+    per-pixel cull-box mask.
 
     The output tile is (1, nc, p) — colors along sublanes — because this
     kernel's out block index changes with the 1D grid step, so Mosaic
@@ -408,11 +352,11 @@ def _fwd_kernel_list(tab_ref, geom_ref, col_ref, out_ref, *, th, tw, n_tw,
     t = code // 4
     flag = code - 4 * t - 1
 
-    @pl.when(flag == 1)
+    @pl.when((flag == 1) | (flag == 2))
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    @pl.when(flag >= 0)
+    @pl.when((flag == 0) | (flag == 1))
     def _():
         tile_i = t // n_tw
         tile_j = t - tile_i * n_tw
@@ -546,6 +490,108 @@ def _raster_fwd_call_windowed(geom_t, col_t, *, h, w, th, tw, gc, window):
     img = out.reshape(n_th, n_tw, th, tw, nc)
     img = img.transpose(0, 2, 1, 3, 4).reshape(n_th * th, n_tw * tw, nc)
     return img[:h, :w]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "th", "tw", "gc", "cap_chunks"))
+def _raster_fwd_call_chunklist(geom_t, col_t, *, h, w, th, tw, gc,
+                               cap_chunks):
+    """Engaged-chunk-list forward: a 1D grid over exactly the (tile, chunk)
+    pairs whose chunk bbox overlaps the tile — the windowed path's engaged
+    set without its skipped grid steps (the per-tile window is a
+    contiguous chunk RANGE, so at trained box statistics ~3/4 of its steps
+    fail the bbox test yet still pay the grid-step cost; r5 walk-volume
+    analysis, scripts/analyze_walk_volume.py). Walk order per tile is
+    ascending chunk id — identical to the windowed path's accumulation
+    order, so outputs are bitwise equal.
+
+    The list build is a (nt, kc) overlap matrix + cumsum + one small
+    scatter (~1e5 elements at production shapes — host-measured orders of
+    magnitude below the 518k-element argsort/gather builds that sank the
+    r4 exact path). Falls back to the windowed path when the engaged
+    count exceeds `cap_chunks` (e.g. init-saturated boxes, where every
+    chunk engages everywhere and a list buys nothing).
+
+    TPU counterpart of the CUDA per-Gaussian dmax scan
+    (`/root/reference/utils/gs_cuda_dmax/gs.cu:38-62`): same engaged-work
+    asymptotics, deterministic accumulation, no atomics."""
+    sp = geom_t.shape[1]
+    nc = col_t.shape[0]
+    kc = sp // gc
+    n_th = _cdiv(h, th)
+    n_tw = _cdiv(w, tw)
+    nt = n_th * n_tw
+    p = th * tw
+
+    bbox = _chunk_bboxes(geom_t, gc)
+    x0 = (jnp.arange(n_tw, dtype=jnp.float32) * tw)
+    y0 = (jnp.arange(n_th, dtype=jnp.float32) * th)
+    ov_y = (bbox[2][None, :] <= y0[:, None] + (th - 1)) & \
+        (bbox[3][None, :] >= y0[:, None])                    # (n_th, kc)
+    ov_x = (bbox[0][None, :] <= x0[:, None] + (tw - 1)) & \
+        (bbox[1][None, :] >= x0[:, None])                    # (n_tw, kc)
+    ov = (ov_y[:, None, :] & ov_x[None, :, :]).reshape(nt, kc)
+
+    cnt = jnp.sum(ov, axis=1, dtype=jnp.int32)               # (nt,)
+    cnt1 = jnp.maximum(cnt, 1)  # empty tiles still need a zero-only slot
+    base = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(cnt1)[:-1].astype(jnp.int32)])
+    total = base[-1] + cnt1[-1]
+    ok = total <= cap_chunks
+
+    rank = jnp.cumsum(ov, axis=1, dtype=jnp.int32) - ov      # exclusive
+    dest = jnp.where(ov, base[:, None] + rank, cap_chunks)
+    tiles = jnp.arange(nt, dtype=jnp.int32)
+    code_val = tiles[:, None] * 4 + jnp.where(rank == 0, 2, 1)
+    chunk_ids = jnp.broadcast_to(jnp.arange(kc, dtype=jnp.int32)[None, :],
+                                 (nt, kc))
+    codes = jnp.full((cap_chunks,), (nt - 1) * 4, jnp.int32)  # flag -1
+    codes = codes.at[dest.reshape(-1)].set(code_val.reshape(-1),
+                                           mode="drop")
+    srcs = jnp.full((cap_chunks,), kc - 1, jnp.int32)
+    srcs = srcs.at[dest.reshape(-1)].set(chunk_ids.reshape(-1), mode="drop")
+    # zero-only slots for empty tiles (flag 2)
+    empty_dest = jnp.where(cnt == 0, base, cap_chunks)
+    codes = codes.at[empty_dest].set(tiles * 4 + 3, mode="drop")
+    tab = jnp.stack([codes, srcs], axis=0)
+
+    def chunklist(args):
+        geom_t, col_t, tab = args
+        kernel = functools.partial(_fwd_kernel_list, th=th, tw=tw,
+                                   n_tw=n_tw, nc=nc)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(cap_chunks,),
+            in_specs=[
+                pl.BlockSpec((GEOM_COLS, gc),
+                             lambda k, tab_ref: (0, tab_ref[1, k])),
+                pl.BlockSpec((nc, gc), lambda k, tab_ref: (0, tab_ref[1, k])),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, nc, p), lambda k, tab_ref: (tab_ref[0, k] // 4, 0, 0)),
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nt, nc, p), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=_interpret(),
+        )(tab, geom_t, col_t)
+        img = out.reshape(n_th, n_tw, nc, th, tw)
+        img = img.transpose(0, 3, 1, 4, 2).reshape(n_th * th, n_tw * tw, nc)
+        return img[:h, :w]
+
+    def fallback(args):
+        geom_t, col_t, _ = args
+        if kc >= 16:
+            win = int(min(kc, max(64, -(-kc // 4))))
+            return _raster_fwd_call_windowed(geom_t, col_t, h=h, w=w, th=th,
+                                             tw=tw, gc=gc, window=win)
+        return _raster_fwd_call(geom_t, col_t, h=h, w=w, th=th, tw=tw, gc=gc)
+
+    return jax.lax.cond(ok, chunklist, fallback, (geom_t, col_t, tab))
 
 
 # Chunk size of the exact-list forward: per-tile segments are padded to
@@ -761,207 +807,6 @@ def _raster_fwd_call_exact(geom_t, col_t, *, h, w, th, tw, gc, mr, mc, cap,
     return jax.lax.cond(ok, exact, fallback, (geom_t, col_t, list_idx, tab))
 
 
-def _class_list(rmax: int):
-    """Ascending power-of-two row-capacity classes covering rmax (in
-    compute-tile units), capped at 7 classes; the last class capacity is
-    exactly rmax when rmax is not itself a power of two."""
-    rs = []
-    r = 2
-    while r < rmax and len(rs) < 6:
-        rs.append(r)
-        r *= 2
-    rs.append(max(int(rmax), 2))
-    return tuple(rs)
-
-
-def _class_key(geom_t, *, h, w, th, tw, rmax):
-    """Sort/walk key for the size-classed segment forward.
-
-    Every visible Gaussian is assigned to the smallest size class whose
-    row capacity R (in compute tiles) covers its clipped cull box
-    (col span <= 2 tiles for all classes); within a class the key is the
-    (row-bin = fy0 // R, corner col-tile) cell. A box spanning more than
-    2 col-tiles or taller than the largest class lands in a single 'wide'
-    bucket that every tile walks. Unlike the r2-r3 fine/coarse scheme
-    (fine = 2x2 tiles, one coarse bin size from the dmax bound), the walk
-    volume contracts WITH the box-size distribution: each class is walked
-    over ~2R rows instead of the worst-case dmax extent — this is what
-    closes the "0.27 of the exact-list bound at trained sigmas" gap
-    BENCH_NOTES round 4 measured for the old scheme.
-
-    Returns (key, composite, n_keys): composite refines the key by the
-    corner's fine tile (y-major) so backward chunk bboxes stay ~box-sized;
-    composite // nt == relation is not needed — searchsorted runs on
-    `key` recomputed from the composite-sorted array. n_keys is static.
-    """
-    g = jax.lax.stop_gradient(geom_t)
-    xlo, xhi = g[G_XLO], g[G_XHI]
-    ylo, yhi = g[G_YLO], g[G_YHI]
-    n_th, n_tw = _cdiv(h, th), _cdiv(w, tw)
-    nt = n_th * n_tw
-    rs = _class_list(min(rmax, n_th))
-
-    vis = ((xhi >= 0) & (xlo <= w - 1) & (yhi >= 0) & (ylo <= h - 1)
-           & (xhi >= xlo) & (yhi >= ylo))
-    fx0 = (jnp.clip(xlo, 0, w - 1) // tw).astype(jnp.int32)
-    fx1 = (jnp.clip(xhi, 0, w - 1) // tw).astype(jnp.int32)
-    fy0 = (jnp.clip(ylo, 0, h - 1) // th).astype(jnp.int32)
-    fy1 = (jnp.clip(yhi, 0, h - 1) // th).astype(jnp.int32)
-    srows = fy1 - fy0 + 1
-    scols = fx1 - fx0 + 1
-
-    key = jnp.full(fy0.shape, -1, jnp.int32)
-    base = 0
-    for r in rs:
-        k_c = base + (fy0 // r) * n_tw + fx0
-        fit = vis & (key < 0) & (srows <= r) & (scols <= 2)
-        key = jnp.where(fit, k_c, key)
-        base += _cdiv(n_th, r) * n_tw
-    wide_base = base
-    key = jnp.where(vis & (key < 0), wide_base, key)
-    n_keys = wide_base + 1
-    key = jnp.where(vis, key, n_keys)  # invisible sort last
-
-    if (n_keys + 1) * nt < 2**31:
-        sub = fy0 * n_tw + fx0
-        composite = key * nt + jnp.where(vis, sub, 0)
-    else:  # int32 overflow guard for huge canvases: plain walk-key order
-        composite = key
-    return key.astype(jnp.int32), composite.astype(jnp.int32), n_keys
-
-
-def _class_tables(bounds, *, n_th, n_tw, rmax, gc, kc):
-    """Per-tile chunk-range table (2*n_ranges, nt) int32 for
-    `_fwd_kernel_seg`, n_ranges = 2 * n_classes + 1.
-
-    For class capacity R, a Gaussian covers tile row ti iff its corner row
-    fy0 is in [ti - R + 1, ti] — an interval of length R spanning at most
-    2 consecutive R-row bins; per bin the needed corner col-tiles
-    {tj-1, tj} are adjacent keys, so each (class, bin-row) contributes ONE
-    contiguous key range. Plus one range for the wide bucket. Ranges are
-    rounded to chunk boundaries (the kernel's per-pixel box mask nulls the
-    strays) and each range's chunk end is clamped to the next range's
-    start so rounding can never double-count.
-
-    rows [0, n): range chunk starts; rows [n, 2n): cumulative counts.
-    """
-    nt = n_th * n_tw
-    rs = _class_list(min(rmax, n_th))
-    t = jnp.arange(nt, dtype=jnp.int32)
-    ti = t // n_tw
-    tj = t - ti * n_tw
-    n_keys = bounds.shape[0] - 1
-
-    los, his = [], []
-    base = 0
-    for r in rs:
-        b1 = ti // r
-        b0 = jnp.maximum(ti - r + 1, 0) // r
-        for brow in (b0, b1):
-            lo_key = base + brow * n_tw + jnp.maximum(tj - 1, 0)
-            hi_key = base + brow * n_tw + tj + 1
-            lo = bounds[jnp.clip(lo_key, 0, n_keys)]
-            hi = bounds[jnp.clip(hi_key, 0, n_keys)]
-            los.append(lo)
-            his.append(jnp.maximum(hi, lo))
-        base += _cdiv(n_th, r) * n_tw
-    # wide bucket: every tile walks it
-    los.append(jnp.broadcast_to(bounds[base], (nt,)))
-    his.append(jnp.broadcast_to(jnp.maximum(bounds[base + 1], bounds[base]),
-                                (nt,)))
-
-    n = len(los)
-    clo = [lo // gc for lo in los]
-    chi = [-(-hi // gc) for hi in his]
-    for i in range(n - 1):
-        chi[i] = jnp.minimum(chi[i], clo[i + 1])
-    lens = [jnp.maximum(chi[i] - jnp.minimum(clo[i], chi[i]), 0)
-            for i in range(n)]
-    cum = []
-    acc = jnp.zeros((nt,), jnp.int32)
-    for i in range(n):
-        acc = acc + lens[i]
-        cum.append(acc)
-    tab = jnp.stack(
-        [jnp.clip(c, 0, kc - 1) for c in clo] + cum, axis=0).astype(jnp.int32)
-    return tab, acc
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "h", "w", "th", "tw", "gc", "rmax", "window", "fb_th", "fb_tw",
-    "fb_gc"))
-def _raster_fwd_call_binned(geom_t, col_t, *, h, w, th, tw, gc, rmax,
-                            window, fb_th, fb_tw, fb_gc):
-    """Size-classed segment forward: every tile walks only the chunks of
-    the class-sorted Gaussian array whose (class, row-bin, corner-col)
-    cells its pixels can see. Work per tile contracts with the actual
-    box-size distribution (each class walked over ~2R rows) instead of the
-    static dmax extent — the r2-r3 fine/coarse scheme walked ~3.7x the
-    exact-list bound at trained sigmas (BENCH_NOTES round 4). The input
-    must already be sorted by `_class_key` (the caller's spatial sort).
-    Falls back to the windowed path at runtime when a tile's walk exceeds
-    `window`."""
-    sp = geom_t.shape[1]
-    nc = col_t.shape[0]
-    n_th, n_tw = _cdiv(h, th), _cdiv(w, tw)
-    nt = n_th * n_tw
-    kc = sp // gc
-    p = th * tw
-
-    key, _, n_keys = _class_key(geom_t, h=h, w=w, th=th, tw=tw, rmax=rmax)
-    bounds = jnp.searchsorted(
-        key, jnp.arange(n_keys + 1, dtype=jnp.int32)).astype(jnp.int32)
-    tab, total = _class_tables(bounds, n_th=n_th, n_tw=n_tw, rmax=rmax,
-                               gc=gc, kc=kc)
-    n_ranges = tab.shape[0] // 2
-    ok = jnp.max(total) <= window
-
-    def binned(args):
-        geom_t, col_t, tab = args
-        kernel = functools.partial(_fwd_kernel_seg, th=th, tw=tw, n_tw=n_tw,
-                                   nc=nc, kc=kc, n_ranges=n_ranges)
-        sel = functools.partial(_seg_chunk, kc=kc, n_ranges=n_ranges)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(nt, window),
-            in_specs=[
-                pl.BlockSpec(
-                    (GEOM_COLS, gc),
-                    lambda t, k, tab_ref: (0, sel(tab_ref, t, k))),
-                pl.BlockSpec(
-                    (nc, gc),
-                    lambda t, k, tab_ref: (0, sel(tab_ref, t, k))),
-            ],
-            out_specs=pl.BlockSpec((1, p, nc),
-                                   lambda t, k, tab_ref: (t, 0, 0)),
-        )
-        out = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((nt, p, nc), jnp.float32),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary", "arbitrary"),
-            ),
-            interpret=_interpret(),
-        )(tab, geom_t, col_t)
-        img = out.reshape(n_th, n_tw, th, tw, nc)
-        img = img.transpose(0, 2, 1, 3, 4).reshape(n_th * th, n_tw * tw, nc)
-        return img[:h, :w]
-
-    def fallback(args):
-        geom_t, col_t, _ = args
-        kc_fb = sp // fb_gc
-        if kc_fb >= 16:
-            win = int(min(kc_fb, max(64, -(-kc_fb // 4))))
-            return _raster_fwd_call_windowed(
-                geom_t, col_t, h=h, w=w, th=fb_th, tw=fb_tw, gc=fb_gc,
-                window=win)
-        return _raster_fwd_call(geom_t, col_t, h=h, w=w, th=fb_th, tw=fb_tw,
-                                gc=fb_gc)
-
-    return jax.lax.cond(ok, binned, fallback, (geom_t, col_t, tab))
-
-
 def _raster_fwd_tiles(geom_t, col_t, *, h, w, th, tw, gc):
     """Dense-grid forward returning raw (nt, p, nc) tiles."""
     sp = geom_t.shape[1]
@@ -1135,12 +980,12 @@ def _raster_bwd_call(geom_t, col_t, g_img, *, h, w, th, tw, gc, window=0):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_dispatch(geom, col, h, w, th, tw, gc, rmax, exact_spec):
+def _fwd_dispatch(geom, col, h, w, th, tw, gc, cap_chunks, exact_spec):
     """Forward dispatch. exact_spec = (mr, mc, cap, presorted) with cap > 0
-    selects the exact-list forward; rmax > 0 the size-classed segment
-    forward (rmax = the largest cull-box row extent in fine-tile units);
-    otherwise the windowed forward when the chunk count is large enough for
-    per-tile ranges to pay off, else the dense grid."""
+    selects the exact-list forward; cap_chunks > 0 the engaged-chunk-list
+    forward (runtime fallback to windowed on overflow); otherwise the
+    windowed forward when the chunk count is large enough for per-tile
+    ranges to pay off, else the dense grid."""
     kc = geom.shape[1] // gc
     if exact_spec is not None and exact_spec[2] > 0:
         mr, mc, cap, presorted = exact_spec
@@ -1148,15 +993,9 @@ def _fwd_dispatch(geom, col, h, w, th, tw, gc, rmax, exact_spec):
             geom, col, h=h, w=w, th=_DEF_TH_BIN, tw=tw, gc=_DEF_GC_LIST,
             mr=mr, mc=mc, cap=cap, presorted=bool(presorted), fb_th=th,
             fb_tw=tw, fb_gc=gc)
-    if rmax > 0:
-        sp = geom.shape[1]
-        n_th = _cdiv(h, _DEF_TH_BIN)
-        nt = n_th * _cdiv(w, tw)
-        n_ranges = 2 * len(_class_list(min(rmax, n_th))) + 1
-        window = max(32, _cdiv(8 * sp, nt * _DEF_GC_BIN) + 2 * n_ranges)
-        return _raster_fwd_call_binned(
-            geom, col, h=h, w=w, th=_DEF_TH_BIN, tw=tw, gc=_DEF_GC_BIN,
-            rmax=rmax, window=window, fb_th=th, fb_tw=tw, fb_gc=gc)
+    if cap_chunks > 0:
+        return _raster_fwd_call_chunklist(geom, col, h=h, w=w, th=th, tw=tw,
+                                          gc=gc, cap_chunks=cap_chunks)
     if kc >= 16:
         window = int(min(kc, max(64, -(-kc // 4))))
         return _raster_fwd_call_windowed(geom, col, h=h, w=w, th=th, tw=tw,
@@ -1166,19 +1005,19 @@ def _fwd_dispatch(geom, col, h, w, th, tw, gc, rmax, exact_spec):
 
 @functools.partial(jax.custom_vjp,
                    nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
-def _raster_core(geom, col, h, w, th, tw, gc, gc_bwd, rmax, window_bwd,
+def _raster_core(geom, col, h, w, th, tw, gc, gc_bwd, cap_chunks, window_bwd,
                  exact_spec):
-    return _fwd_dispatch(geom, col, h, w, th, tw, gc, rmax, exact_spec)
+    return _fwd_dispatch(geom, col, h, w, th, tw, gc, cap_chunks, exact_spec)
 
 
-def _raster_core_fwd(geom, col, h, w, th, tw, gc, gc_bwd, rmax, window_bwd,
-                     exact_spec):
-    out = _fwd_dispatch(geom, col, h, w, th, tw, gc, rmax, exact_spec)
+def _raster_core_fwd(geom, col, h, w, th, tw, gc, gc_bwd, cap_chunks,
+                     window_bwd, exact_spec):
+    out = _fwd_dispatch(geom, col, h, w, th, tw, gc, cap_chunks, exact_spec)
     return out, (geom, col)
 
 
-def _raster_core_bwd(h, w, th, tw, gc, gc_bwd, rmax, window_bwd, exact_spec,
-                     res, g):
+def _raster_core_bwd(h, w, th, tw, gc, gc_bwd, cap_chunks, window_bwd,
+                     exact_spec, res, g):
     # Backward runs with its own smaller tile/chunk so its ~8 concurrent
     # (th_bwd*tw, gc_bwd) f32 temporaries fit the ~16MB VMEM budget.
     geom, col = res
@@ -1208,13 +1047,28 @@ def gs_render_px(geom, colors, canvas_hw: Sequence[int], *,
         box is inclusive.
       colors: (S, C) alpha-premultiplied colors.
       canvas_hw: static (H, W).
-      binning: "auto" uses the exact-binned forward for large renders (with
-        a runtime fallback to the chunk-bbox path), "on" forces it, "off"
-        disables it.
+      binning: forward-path selection for large renders.
+        "auto" (default): the engaged-chunk-list forward — a 1D grid over
+          exactly the (tile, chunk) pairs whose chunk bbox overlaps the
+          tile, bitwise-identical accumulation order to the windowed path,
+          with a runtime fallback to the windowed path when the engaged
+          count overflows the static capacity (e.g. init-saturated boxes).
+        "on": same, forced even for small renders.
+        "off": the windowed per-tile chunk-range walk (dense grid for
+          small chunk counts).
+        "exact": opt-in per-tile EXACT Gaussian lists (sort-free analytic
+          slot assignment; runtime fallback to the windowed path on
+          span/capacity overflow). Exactness at Gaussian granularity is
+          the structural walk floor, but its XLA list build (argsort +
+          multi-million-row gather/scatter) measures ~100x off HBM speed
+          on this part, so it loses end-to-end at production shapes
+          (BENCH_NOTES r4) — kept as the correctness scaffold. Requires
+          max_box_px (or a small canvas): without a static box bound the
+          (mr*mc, S) build lattices can reach HBM-OOM scale, so spans
+          over 64 tiles route to the windowed path at trace time.
       max_box_px: optional static (box_h, box_w) upper bound on any cull-box
-        extent in pixels (e.g. dmax-derived); sizes the coarse bins. Without
-        it coarse bins cover the whole canvas, which is correct but slower
-        when many Gaussians are coarse-class.
+        extent in pixels (e.g. dmax-derived); sizes the exact path's
+        offset lattice, the chunk-list capacity and the backward window.
     Returns: (H, W, C) float32.
     """
     h, w = int(canvas_hw[0]), int(canvas_hw[1])
@@ -1231,22 +1085,10 @@ def gs_render_px(geom, colors, canvas_hw: Sequence[int], *,
         mc = min(n_tw_e, _cdiv(max(mbw_i - 1, 1), tw) + 1)
     else:
         mr, mc = n_th_e, n_tw_e
-    # Exact-list forward: opt-in only. The walk volume IS the structural
-    # floor (~3.5x below the windowed path at trained box statistics), but
-    # on this chip the XLA build primitives it needs run ~100x off HBM
-    # speed (measured with hard syncs: argsort 518k = 43 ms, 5.3M-row
-    # gather = 70 ms, 10M scatter = 101 ms, (20, 518k) cumsum = 36 ms), so
-    # the ~220 ms prep swamps the ~70 ms kernel saving. Opt in with
-    # binning="exact"; revisit if the build moves into Pallas.
-    use_exact = binning == "exact"
-
-    # The size-classed segment forward requires the class-key sort below,
-    # so it only engages when the spatial sort runs.
-    rmax = 0
-    if (not use_exact and spatial_sort and s > gc
-            and (binning == "on" or (binning == "auto" and s // gc >= 16))):
-        mbh = max_box_px[0] if max_box_px is not None else h
-        rmax = min(_cdiv(h, _DEF_TH_BIN), _cdiv(int(mbh) + 2, _DEF_TH_BIN))
+    # ADVICE r4: without a static box bound the exact build would allocate
+    # (mr*mc, S) lattices at canvas scale (HBM-OOM risk before the runtime
+    # fallback can engage) — refuse the exact path at trace time instead.
+    use_exact = binning == "exact" and mr * mc <= 64
 
     presorted = False
     if spatial_sort and s > gc:
@@ -1258,9 +1100,6 @@ def gs_render_px(geom, colors, canvas_hw: Sequence[int], *,
                                               th=_DEF_TH_BIN, tw=tw)
             key = fy0 * n_tw_e + fx0
             presorted = True
-        elif rmax > 0:
-            _, key, _ = _class_key(g.T, h=h, w=w, th=_DEF_TH_BIN, tw=tw,
-                                   rmax=rmax)
         else:
             cyx = jnp.clip(g[:, G_CY], 0, h - 1).astype(jnp.int32) // th
             cxx = jnp.clip(g[:, G_CX], 0, w - 1).astype(jnp.int32) // tw
@@ -1270,9 +1109,6 @@ def gs_render_px(geom, colors, canvas_hw: Sequence[int], *,
         colors = jnp.take(colors, perm, axis=0)
 
     align = max(gc, gc_bwd)
-    if rmax > 0:
-        align = max(align, _DEF_GC_BIN)
-        assert align % _DEF_GC_BIN == 0, (align, _DEF_GC_BIN)
     assert align % min(gc, gc_bwd) == 0, (gc, gc_bwd)
     sp = _cdiv(s, align) * align
     pad = sp - s
@@ -1305,18 +1141,29 @@ def gs_render_px(geom, colors, canvas_hw: Sequence[int], *,
         mbw_i = int(_m.ceil(float(max_box_px[1])))
         bw_nth = _cdiv(h, _DEF_TH_BWD)
         bw_ntw = _cdiv(w, tw)
-        if rmax > 0:
-            # Class-key sort with within-bin fine subkey: a chunk's bbox
-            # spans at most its class's cull-box extent plus one row bin
-            # of that class (<= rmax fine tiles each).
-            rows = min(bw_nth,
-                       2 * rmax * _DEF_TH_BIN // _DEF_TH_BWD + 6)
-            cols = min(bw_ntw, _cdiv(mbw_i, tw) + 3)
-        else:
-            rows = min(bw_nth, 3 * _cdiv(mbh_i, _DEF_TH_BWD) + 6)
-            cols = min(bw_ntw, 3 * _cdiv(mbw_i, tw) + 4)
+        rows = min(bw_nth, 3 * _cdiv(mbh_i, _DEF_TH_BWD) + 6)
+        cols = min(bw_ntw, 3 * _cdiv(mbw_i, tw) + 4)
         if rows * cols <= (bw_nth * bw_ntw) // 2:
             window_bwd = rows * cols
+
+    # Engaged-chunk-list capacity (static): expected engaged chunks/tile =
+    # (box-dilated tile area / tile area) x (avg chunks per tile's anchor
+    # population), with a 2.2x slack for chunk-extent spread under the
+    # spatial sort; overflow falls back to the windowed path at runtime.
+    cap_chunks = 0
+    sp_pre = _cdiv(s, align) * align
+    if binning in ("auto", "on") and not use_exact and \
+            sp_pre // gc >= (16 if binning == "auto" else 1):
+        nt_c = _cdiv(h, th) * _cdiv(w, tw)
+        kc_c = sp_pre // gc
+        if max_box_px is not None:
+            area_ratio = ((th + mbh_i) * (tw + mbw_i)) / float(th * tw)
+        else:
+            area_ratio = 4.0
+        cpt = int(2.2 * area_ratio * max(sp_pre / (nt_c * gc), 1.0)) + 8
+        # +1/tile for zero-only slots; 24576-step hard cap bounds SMEM and
+        # pad-step waste (larger canvases route to the windowed fallback)
+        cap_chunks = int(min(nt_c * (min(cpt, kc_c) + 1), 24576))
 
     exact_spec = (0, 0, 0, False)
     if use_exact:
@@ -1333,8 +1180,8 @@ def gs_render_px(geom, colors, canvas_hw: Sequence[int], *,
         exact_spec = (mr, mc, cap, presorted)
 
     # Transpose to gaussians-along-lanes; autodiff maps grads back.
-    return _raster_core(geom.T, colors.T, h, w, th, tw, gc, gc_bwd, rmax,
-                        window_bwd, exact_spec)
+    return _raster_core(geom.T, colors.T, h, w, th, tw, gc, gc_bwd,
+                        cap_chunks, window_bwd, exact_spec)
 
 
 def pack_geometry(sigmas, coords, image_size, dmax, y_offset=None,

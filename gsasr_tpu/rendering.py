@@ -145,7 +145,7 @@ def render_gaussians(
     dmax: float = 25.0,
     use_pallas: bool = True,
     sample_coords=None,
-    static_perm: bool = False,
+    static_perm: bool = True,
 ):
     """The canonical render entry — TPU equivalent of
     `generate_2D_gaussian_splatting_step` (`gaussian_splatting.py:158-217`).
@@ -162,12 +162,16 @@ def render_gaussians(
       sample_coords: optional (K, 2) integer pixel coords for sparse
         supervision — returns (3, K) sampled values like :214-216.
       static_perm: replace the runtime device sort with the zero-cost
-        lattice-anchor permutation. The anchor permutation assumes centers
-        track their lattice anchors (true for trained models); with
-        anchor-divergent centers (e.g. random init) only the runtime sort of
-        the actual coordinates guarantees chunk locality, so the device sort
-        is the default. Same-day e2e measurements put the two within ~4% of
-        each other on the random-init benchmark.
+        lattice-anchor permutation (default True — r5). Correctness never
+        depends on it (per-Gaussian cull boxes are ground truth); only
+        chunk locality does, and measured trained decoders keep centers
+        within ~3 px of their anchors (|center-anchor| p99 = 2.2 px at the
+        r5 checkpoint, scripts/analyze_walk_volume.py) while the runtime
+        518k-element argsort costs ~40 ms hard-synced on this part. With
+        anchor-divergent centers (random init) the two are within ~4% e2e
+        because saturated boxes defeat locality either way. Falls back to
+        the runtime sort automatically for non-square lattices; pass False
+        to force the device sort of actual coordinates.
 
     Returns:
       (3, H, W) rendered image (the reference's post-permute layout,

@@ -186,7 +186,7 @@ def test_windowed_forward_matches(rng):
 
 
 # ---------------------------------------------------------------------------
-# Exact-binned forward (_raster_fwd_call_binned)
+# Engaged-chunk-list forward (_raster_fwd_call_chunklist, binning="on"/"auto")
 # ---------------------------------------------------------------------------
 
 
@@ -214,11 +214,11 @@ def test_binned_forward_matches_reference(rng, s, size, dmax):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_classed_forward_spans_every_size_class(rng):
-    """Box sizes engineered to populate every power-of-two size class of
-    the classed segment forward (plus the wide bucket via a near-canvas
-    box) on a tall canvas with many row bins — parity vs the dense
-    reference gates the class/bin/range bookkeeping."""
+def test_chunklist_mixed_sizes_and_empty_tiles(rng):
+    """Chunk-list forward with a strongly non-uniform layout: box sizes
+    spanning 4-150 px half-extents AND every Gaussian confined to the top
+    third of a tall canvas, so most tiles are EMPTY — gates the zero-only
+    slot bookkeeping (flag 2) that keeps untouched output tiles zeroed."""
     s, size = 1536, (160, 140)
     rng2 = np.random.default_rng(7)
     # target pixel-unit sigmas so 14.5*sigma covers ~{4, 12, 28, 60, 150}px
@@ -229,13 +229,17 @@ def test_classed_forward_spans_every_size_class(rng):
     sig_x = (half / 14.5) / ((size[1] - 1) / 2)
     rho = (rng2.random(s, dtype=np.float32) - 0.5) * 0.8
     sigmas = jnp.asarray(np.stack([sig_x, sig_y, rho], 1, dtype=np.float32))
-    coords = jnp.asarray(
-        2.2 * rng2.random((s, 2), dtype=np.float32) - 1.1)
+    coords = np.stack(
+        [2.2 * rng2.random(s, dtype=np.float32) - 1.1,               # x: all
+         0.6 * rng2.random(s, dtype=np.float32) - 1.0], 1)           # y: top
     colors = jnp.asarray(rng2.random((s, 3), dtype=np.float32))
-    ref = gs_render_reference(sigmas, coords, colors, size, 0.9)
-    out = gs_render(sigmas, coords, colors, size, 0.9, gc=256, binning="on")
+    ref = gs_render_reference(sigmas, jnp.asarray(coords), colors, size, 0.2)
+    out = gs_render(sigmas, jnp.asarray(coords), colors, size, 0.2, gc=256,
+                    binning="on")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+    # the bottom rows really are untouched — must be exactly zero
+    assert np.asarray(out)[120:].max() == 0.0
 
 
 def test_binned_overflow_falls_back(rng):
