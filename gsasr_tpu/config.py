@@ -155,4 +155,5 @@ def build_train_config(opt: Dict[str, Any]):
         ssim_weight=float(t.get("ssim_opt", {}).get("loss_weight", 0.0)
                           if isinstance(t.get("ssim_opt"), dict) else 0.0),
         seed=int(opt.get("manual_seed", 0)),
+        fused_decoder=bool(t.get("fused_decoder", False)),
     )

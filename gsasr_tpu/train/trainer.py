@@ -66,6 +66,12 @@ class TrainConfig:
     # is one jit-global SPMD computation, so the key must be identical
     # across processes; per-sample decorrelation comes from the batch axis.
     seed: int = 0
+    # r5 (VERDICT r4 #2): run the decoder's loss forward through the fused
+    # Pallas layer kernels (ops/fused_layers.py custom VJPs, recompute-in-
+    # VMEM backward) instead of the module path. Grad parity is asserted
+    # by tests/test_fused_backward.py; the module path stays the default
+    # until an on-chip step-time A/B picks a winner per family.
+    fused_decoder: bool = False
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -136,6 +142,20 @@ class Trainer:
 
     # -- one training step --------------------------------------------------
 
+    def _dec_apply(self, params_d, feat, scales):
+        if self.cfg.fused_decoder:
+            from gsasr_tpu.models import Fea2GS, Fea2GSRopeAMP
+            if isinstance(self.dec, Fea2GS):
+                from gsasr_tpu.models.fea2gs_fast import fea2gs_apply_fused
+                return fea2gs_apply_fused(self.dec, {"params": params_d},
+                                          feat, scales)
+            if isinstance(self.dec, Fea2GSRopeAMP):
+                from gsasr_tpu.models.fea2gs_rope_fast import \
+                    fea2gs_rope_apply_fused
+                return fea2gs_rope_apply_fused(
+                    self.dec, {"params": params_d}, feat, scales)
+        return self.dec.apply({"params": params_d}, feat, scales)
+
     def _loss_fn(self, params, batch, rng):
         cfg = self.cfg
         if getattr(self.enc, "drop_path_rate", 0.0) > 0.0:
@@ -145,7 +165,7 @@ class Trainer:
                                   True, rngs={"droppath": rng})
         else:
             feat = self.enc.apply({"params": params["g"]}, batch["lq"])
-        gs = self.dec.apply({"params": params["d"]}, feat, batch["scale"])
+        gs = self._dec_apply(params["d"], feat, batch["scale"])
         out = render_training_batch(
             gs, batch["scale"], batch["gt_h"], batch["gt_w"], cfg.canvas_hw,
             default_step_size=cfg.default_step_size, if_dmax=cfg.if_dmax,

@@ -229,3 +229,30 @@ def test_load_pretrained_params_orbax(tmp_path, rng):
         for a, b in zip(la, lb):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert load_pretrained_params(None, "edsr") is None
+
+
+def test_train_step_fused_decoder_matches_module(rng):
+    """One training step with cfg.fused_decoder=True (decoder loss forward
+    + backward through the fused Pallas layer kernels, VERDICT r4 #2) must
+    track the module-path step: same loss and near-identical updated
+    parameters from identical init."""
+    import dataclasses
+
+    from gsasr_tpu.train import Trainer
+
+    enc, dec, cfg = _tiny_setup()
+    batch = _tiny_batch(rng, 8)
+
+    results = []
+    for fused in (False, True):
+        cfg_i = dataclasses.replace(cfg, fused_decoder=fused)
+        trainer = Trainer(enc, dec, cfg_i)
+        state = trainer.init(jax.random.PRNGKey(0), (8, 8, 8, 3))
+        state2, metrics = trainer.step(state, batch)
+        results.append((float(metrics["loss"]),
+                        jax.tree_util.tree_leaves(state2.params_d)))
+    (l_mod, p_mod), (l_fused, p_fused) = results
+    np.testing.assert_allclose(l_fused, l_mod, rtol=1e-5)
+    for a, b in zip(p_fused, p_mod):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
