@@ -27,6 +27,18 @@ def make_mesh(devices: Optional[Sequence] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_2d(n_data: int, n_band: int,
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """(data, band) mesh for spatial x data-parallel training: gradients
+    all-reduce over both axes (XLA psum over ICI), the training canvas is
+    sharded P('data', 'band') along (batch, rows). The Trainer switches to
+    the banded rasterizer when it sees a 'band' axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    assert len(devices) >= n_data * n_band, (len(devices), n_data, n_band)
+    arr = np.asarray(devices[:n_data * n_band]).reshape(n_data, n_band)
+    return Mesh(arr, ("data", "band"))
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) dimension across the mesh."""
     return NamedSharding(mesh, P(axis_name))

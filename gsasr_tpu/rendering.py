@@ -255,6 +255,47 @@ def render_training_batch(
     """
     b, n, _ = gs_parameters.shape
     hmax, wmax = int(canvas_hw[0]), int(canvas_hw[1])
+    geoms, colors, max_box_px = training_batch_geometry(
+        gs_parameters, scales, gt_h, gt_w, canvas_hw,
+        default_step_size=default_step_size, if_dmax=if_dmax,
+        dmax_mode=dmax_mode, dmax=dmax)
+    canvas = gs_render_px(geoms.reshape(b * n, GEOM_COLS),
+                          colors.reshape(b * n, 3), (b * hmax, wmax),
+                          max_box_px=max_box_px)
+    return canvas.reshape(b, hmax, wmax, 3)
+
+
+def training_batch_geometry(
+    gs_parameters,
+    scales,
+    gt_h,
+    gt_w,
+    canvas_hw,
+    *,
+    default_step_size: float = DEFAULT_STEP_SIZE,
+    if_dmax: bool = True,
+    dmax_mode: str = "fix",
+    dmax: float = 25.0,
+    band_y0=None,
+    slot_h: int | None = None,
+):
+    """Slot-stacked pixel-unit geometry for a training batch.
+
+    Shared by the single-device canvas render (`render_training_batch`)
+    and the band-sharded one (`parallel/spatial.py`): with `band_y0`
+    (traced scalar, the first canvas row this device renders) and `slot_h`
+    (static per-sample rows on the local canvas), sample i's rows
+    [band_y0, band_y0 + slot_h) land on local rows [i*slot_h, ...) and
+    everything outside the band is clamped into an empty cull box.
+
+    Returns (geoms (B, N, 16), colors (B, N, 3), max_box_px).
+    """
+    b, n, _ = gs_parameters.shape
+    hmax, wmax = int(canvas_hw[0]), int(canvas_hw[1])
+    if slot_h is None:
+        slot_h = hmax
+    if band_y0 is None:
+        band_y0 = jnp.zeros((), jnp.float32)
 
     def one(g, scale, h, w, idx):
         # fp32 render boundary (see prepare_kernel_inputs)
@@ -276,11 +317,16 @@ def render_training_batch(
                 d = jnp.asarray(dmax, jnp.float32)
         else:
             d = jnp.asarray(100.0, jnp.float32)
-        off = idx.astype(jnp.float32) * hmax
+        # sample rows [band_y0, band_y0+slot_h) -> local rows [idx*slot_h..)
+        b0 = jnp.asarray(band_y0, jnp.float32)
+        off = idx.astype(jnp.float32) * slot_h - b0
+        lo = idx.astype(jnp.float32) * slot_h
+        # valid rows within the band: min(h, band_y0+slot_h) - band_y0
+        hi = lo + jnp.clip(h_f - b0, 0.0, float(slot_h)) - 1.0
         geom = pack_geometry(
             sigmas, kcoords, (h_f, w_f), d,
             y_offset=off,
-            y_slot=(off, off + h_f - 1.0),
+            y_slot=(lo, hi),
             x_slot=(0.0, w_f - 1.0),
         )
         return geom, colors
@@ -288,14 +334,11 @@ def render_training_batch(
     geoms, colors = jax.vmap(one)(
         gs_parameters, jnp.asarray(scales, jnp.float32),
         jnp.asarray(gt_h), jnp.asarray(gt_w), jnp.arange(b))
-    # Static box bound for the binned forward's coarse bins: with fixed dmax
+    # Static box bound for the forward's list capacity: with fixed dmax
     # the cull box spans at most dmax*(dim-1) pixels per axis (each sample's
     # effective dims are <= the canvas slot dims).
     max_box_px = None
     if if_dmax and dmax_mode != "dynamic" and isinstance(dmax, (int, float)):
-        max_box_px = (min(hmax, dmax * (hmax - 1) + 1),
+        max_box_px = (min(slot_h, dmax * (hmax - 1) + 1),
                       min(wmax, dmax * (wmax - 1) + 1))
-    canvas = gs_render_px(geoms.reshape(b * n, GEOM_COLS),
-                          colors.reshape(b * n, 3), (b * hmax, wmax),
-                          max_box_px=max_box_px)
-    return canvas.reshape(b, hmax, wmax, 3)
+    return geoms, colors, max_box_px

@@ -166,10 +166,24 @@ class Trainer:
         else:
             feat = self.enc.apply({"params": params["g"]}, batch["lq"])
         gs = self._dec_apply(params["d"], feat, batch["scale"])
-        out = render_training_batch(
-            gs, batch["scale"], batch["gt_h"], batch["gt_w"], cfg.canvas_hw,
-            default_step_size=cfg.default_step_size, if_dmax=cfg.if_dmax,
-            dmax_mode=cfg.dmax_mode, dmax=cfg.dmax)
+        if "band" in self.mesh.axis_names:
+            # 2D (data, band) mesh: each device rasterizes its data shard's
+            # canvas band via the banded training render — spatial x data
+            # parallelism in ONE step (VERDICT r4 #6). Rows are cropped
+            # back from the band-padded canvas.
+            from gsasr_tpu.parallel.spatial import \
+                render_training_batch_banded
+            out = render_training_batch_banded(
+                gs, batch["scale"], batch["gt_h"], batch["gt_w"],
+                cfg.canvas_hw, self.mesh,
+                default_step_size=cfg.default_step_size,
+                if_dmax=cfg.if_dmax, dmax_mode=cfg.dmax_mode, dmax=cfg.dmax)
+            out = out[:, :cfg.canvas_hw[0]]
+        else:
+            out = render_training_batch(
+                gs, batch["scale"], batch["gt_h"], batch["gt_w"],
+                cfg.canvas_hw, default_step_size=cfg.default_step_size,
+                if_dmax=cfg.if_dmax, dmax_mode=cfg.dmax_mode, dmax=cfg.dmax)
         if "sample_coords" in batch:
             # sparse supervision (`gsasr_model.py` sample_coords path):
             # gather K pixels per sample from the rendered canvas.

@@ -111,3 +111,69 @@ def test_sr_forward_spatial_matches(rng):
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_2d_mesh_training_step_matches_1d(rng):
+    """(data, band) 2x4 mesh training step vs the 1D 8-device DP step:
+    identical init + batch must produce matching loss and parameters
+    (VERDICT r4 #6 — data x spatial parallelism composed in ONE step)."""
+    import jax.numpy as jnp
+
+    from gsasr_tpu.models import EDSRNOUP, Fea2GS
+    from gsasr_tpu.parallel.mesh import make_mesh, make_mesh_2d
+    from gsasr_tpu.train import TrainConfig, Trainer
+
+    enc = EDSRNOUP(num_feat=8, num_block=1)
+    dec = Fea2GS(inchannel=8, channel=12, num_heads=6,
+                 num_crossattn_blocks=1, num_crossattn_layers=1,
+                 num_selfattn_blocks=1, num_selfattn_layers=1,
+                 num_gs_seed=16, window_size=4)
+    cfg = TrainConfig(canvas_hw=(24, 24), warmup_iter=-1, milestones=(100,))
+
+    scales = 1.5 + rng.random(8).astype(np.float32)
+    gh = np.ceil(scales * 8).astype(np.int32)
+    batch = {
+        "lq": jnp.asarray(rng.random((8, 8, 8, 3), dtype=np.float32)),
+        "gt": jnp.asarray(rng.random((8, 24, 24, 3), dtype=np.float32)),
+        "scale": jnp.asarray(scales),
+        "gt_h": jnp.asarray(gh),
+        "gt_w": jnp.asarray(gh),
+    }
+
+    outs = []
+    for mesh in (make_mesh(jax.devices()[:8]), make_mesh_2d(2, 4)):
+        tr = Trainer(enc, dec, cfg, mesh=mesh)
+        state = tr.init(jax.random.PRNGKey(0), (8, 8, 8, 3))
+        state, metrics = tr.step(state, batch)
+        outs.append((float(metrics["loss"]),
+                     np.asarray(jax.tree_util.tree_leaves(state.params_d)[0])))
+
+    assert abs(outs[0][0] - outs[1][0]) < 1e-5, (outs[0][0], outs[1][0])
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-4, atol=1e-6)
+
+
+def test_banded_training_render_matches_single(rng):
+    """render_training_batch_banded on a (2, 4) mesh == the single-device
+    slot-stacked canvas, including the uneven final band and per-sample
+    gt-size masking."""
+    import jax.numpy as jnp
+
+    from gsasr_tpu.parallel.mesh import make_mesh_2d
+    from gsasr_tpu.parallel.spatial import render_training_batch_banded
+    from gsasr_tpu.rendering import render_training_batch
+
+    mesh = make_mesh_2d(2, 4)
+    b, n = 4, 256
+    gp = jnp.asarray(0.3 * rng.standard_normal((b, n, 9)).astype(np.float32))
+    scales = jnp.asarray(1.5 + rng.random(b).astype(np.float32))
+    gh = jnp.asarray(np.array([22, 17, 20, 19], np.int32))
+    gw = jnp.asarray(np.array([21, 22, 18, 22], np.int32))
+    canvas = (22, 22)  # 22 rows over 4 bands: uneven last band (22=3*6+4)
+
+    single = render_training_batch(gp, scales, gh, gw, canvas,
+                                   dmax_mode="fix", dmax=0.5)
+    banded = render_training_batch_banded(gp, scales, gh, gw, canvas, mesh,
+                                          dmax_mode="fix", dmax=0.5)
+    banded = banded[:, :canvas[0]]
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(single),
+                               rtol=1e-5, atol=1e-6)
