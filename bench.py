@@ -234,6 +234,51 @@ def main():
     if peak_mem is None and mem_est:
         peak_mem = mem_est
 
+    # -- Enhanced family (Fea2GSRopeAMP, bf16-trunk fused default) --------
+    # The family the reference recommends (`README.md:206-209`); measured
+    # on the same protocol so BENCH jsons carry an enhanced row
+    # (VERDICT r4 #3). GSASR_BENCH_ENHANCED=0 skips it.
+    enh_ms = enh_iqr = enh_weights = None
+    if os.environ.get("GSASR_BENCH_ENHANCED", "1") == "1":
+        try:
+            enc_e, dec_e = make_models("edsr", "enhanced")
+            eckpt = os.environ.get("GSASR_BENCH_ENHANCED_CKPT")
+            if not eckpt:
+                import glob
+                cands = [p for p in glob.glob("experiments/*/checkpoints/*")
+                         if os.path.isdir(p)
+                         and os.path.basename(p).isdigit()
+                         and any(k in p.lower()
+                                 for k in ("rope", "enh", "amp"))]
+                eckpt = max(cands, key=lambda p: (os.path.getmtime(p),
+                                                  int(os.path.basename(p))),
+                            default=None)
+            if eckpt:
+                from gsasr_tpu.utils.checkpoint import load_eval_params
+                ep, dp = load_eval_params(eckpt)
+                estep = int(os.path.basename(eckpt))
+                enh_weights = ("trained" if estep >= MIN_TRAINED_STEP
+                               else "early")
+            else:
+                ep = enc_e.init(rng, jnp.zeros((1, 12, 12, 3)))["params"]
+                dp = dec_e.init(rng, jnp.zeros((1, 12, 12, 64)),
+                                jnp.ones((1,)))["params"]
+                enh_weights = "init"
+            efn = _jitted_apply(enc_e)
+            dfn = _jitted_apply(dec_e)
+
+            def forward_e(ep, dp, lq):
+                feat = efn(ep, lq)
+                gs = dfn(dp, feat, scales)
+                return render_one(gs[0])
+
+            ts_e, _ = _timed(lambda: forward_e(ep, dp, lq), reps=7,
+                             discard=2, sync=sync)
+            dte, enh_iqr = _median_iqr(ts_e)
+            enh_ms = round(dte * 1e3, 2)
+        except Exception:
+            pass
+
     print(json.dumps({
         "metric": "edsr_gsasr_x4_720sq_e2e_inference",
         "value": round(ms, 2),
@@ -255,6 +300,9 @@ def main():
         "device_kind": kind,
         "weights": weights,
         "ckpt": ckpt,
+        "enhanced_e2e_ms": enh_ms,
+        "enhanced_iqr_ms": enh_iqr,
+        "enhanced_weights": enh_weights,
         "baseline": "estimate",
     }))
 
