@@ -1264,7 +1264,7 @@ def gs_render(sigmas, coords, colors, image_size: Sequence[int], dmax=100.0,
     geom = pack_geometry(sigmas.astype(jnp.float32),
                          coords.astype(jnp.float32), (h, w), dmax)
     # With a static dmax the cull-box extents are bounded by 2*dmax*half
-    # per axis — size the binned forward's coarse bins to that.
+    # per axis — sizes the exact-path offset lattice and list capacities.
     max_box_px = None
     if isinstance(dmax, (int, float)):
         max_box_px = (min(h, dmax * (h - 1) + 1), min(w, dmax * (w - 1) + 1))
