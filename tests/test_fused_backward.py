@@ -201,3 +201,36 @@ def test_fused_decoder_full_grad_parity():
         np.testing.assert_allclose(
             np.asarray(leaf), np.asarray(flat_m[path]), rtol=3e-3,
             atol=3e-3, err_msg=jax.tree_util.keystr(path))
+
+
+def test_fused_rope_decoder_full_grad_parity():
+    """End-to-end: grads of a loss on `fea2gs_rope_apply_fused` match the
+    Enhanced module path (RoPE freq gradients included)."""
+    from gsasr_tpu.models.fea2gs_rope import Fea2GSRopeAMP
+    from gsasr_tpu.models.fea2gs_rope_fast import fea2gs_rope_apply_fused
+
+    m = Fea2GSRopeAMP(inchannel=8, channel=32, num_heads=4,
+                      num_crossattn_blocks=1, num_crossattn_layers=2,
+                      num_selfattn_blocks=1, num_selfattn_layers=2,
+                      num_gs_seed=16, window_size=4)
+    rng = np.random.default_rng(3)
+    srcs = jnp.asarray(rng.random((1, 8, 8, 8), dtype=np.float32))
+    scale = jnp.full((1,), 2.0, jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), srcs, scale)["params"]
+    w = jnp.asarray(rng.random((1, 1024, 9), dtype=np.float32))
+
+    def loss_mod(p):
+        return jnp.sum(w * m.apply({"params": p}, srcs, scale))
+
+    def loss_fused(p):
+        return jnp.sum(w * fea2gs_rope_apply_fused(m, {"params": p}, srcs,
+                                                   scale))
+
+    vm, gm = jax.value_and_grad(loss_mod)(params)
+    vf, gf = jax.value_and_grad(loss_fused)(params)
+    np.testing.assert_allclose(float(vf), float(vm), rtol=1e-5)
+    flat_m = dict(jax.tree_util.tree_leaves_with_path(gm))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(gf):
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_m[path]), rtol=3e-3,
+            atol=3e-3, err_msg=jax.tree_util.keystr(path))
