@@ -84,6 +84,19 @@ def bench_render(ckpt):
         prepped.append([sg, kc, col])
 
     import functools as ft
+    # chunklist tile/chunk geometry sweep (smaller tiles cut body waste,
+    # more steps pay per-step overhead — the crossover is empirical)
+    for th, gc in ((32, 1024), (16, 512), (8, 256), (8, 512)):
+        fn = jax.jit(ft.partial(
+            lambda s, c, cl, _th, _gc: gs_render(
+                s, c, cl, sr, 0.1, spatial_sort=False, binning="auto",
+                th=_th, gc=_gc), _th=th, _gc=gc))
+        try:
+            ms = _timed(fn, prepped)
+            print(f"gs_render chunklist th={th} gc={gc}: {ms:.2f} ms")
+        except Exception as e:
+            print(f"gs_render chunklist th={th} gc={gc}: FAIL "
+                  f"{type(e).__name__}: {e}")
     for binning in ("auto", "off", "exact"):
         for sort in (False, True):
             fn = jax.jit(ft.partial(
