@@ -145,15 +145,21 @@ class Trainer:
     def _dec_apply(self, params_d, feat, scales):
         if self.cfg.fused_decoder:
             from gsasr_tpu.models import Fea2GS, Fea2GSRopeAMP
+            # bf16-family modules carry dtype=bfloat16; the fused path
+            # mirrors it as bf16 trunk + fp32 UPNet/heads (a slightly
+            # MORE precise tail than the module's bf16 UPNet — the
+            # fp32-heads recipe either way).
+            mdt = getattr(self.dec, "dtype", jnp.float32)
+            fdt = None if mdt == jnp.float32 else mdt
             if isinstance(self.dec, Fea2GS):
                 from gsasr_tpu.models.fea2gs_fast import fea2gs_apply_fused
                 return fea2gs_apply_fused(self.dec, {"params": params_d},
-                                          feat, scales)
+                                          feat, scales, dtype=fdt)
             if isinstance(self.dec, Fea2GSRopeAMP):
                 from gsasr_tpu.models.fea2gs_rope_fast import \
                     fea2gs_rope_apply_fused
                 return fea2gs_rope_apply_fused(
-                    self.dec, {"params": params_d}, feat, scales)
+                    self.dec, {"params": params_d}, feat, scales, dtype=fdt)
         return self.dec.apply({"params": params_d}, feat, scales)
 
     def _loss_fn(self, params, batch, rng):
