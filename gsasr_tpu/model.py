@@ -132,9 +132,22 @@ def _jitted_apply(module):
     return jax.jit(lambda params, *xs: module.apply({"params": params}, *xs))
 
 
+def _lat_hw(dec, ph: int, pw: int):
+    """Static decoder-lattice dims for a (ph, pw) input — enables the
+    zero-cost static anchor permutation for rectangular images."""
+    import math as _m
+    try:
+        f = (int(_m.isqrt(dec.num_gs_seed)) / dec.window_size
+             * dec.shuffle_scale1 * dec.shuffle_scale2)
+        lh, lw = int(round(ph * f)), int(round(pw * f))
+        return (lh, lw) if lh > 0 and lw > 0 else None
+    except AttributeError:
+        return None
+
+
 @functools.lru_cache(maxsize=None)
 def _jitted_render(scale: float, dmax_mode: str, dmax: float,
-                   use_pallas: bool):
+                   use_pallas: bool, lat_hw=None):
     # NOTE: batching via lax/vmap over the pallas rasterizer is deliberately
     # avoided (vmap of pallas_call compiles pathologically through the
     # remote-compile path); the batch dim is scanned as a python loop —
@@ -144,7 +157,7 @@ def _jitted_render(scale: float, dmax_mode: str, dmax: float,
     def render_one(g, hw):
         return render_gaussians(hw, g, jnp.float32(scale),
                                 dmax_mode=dmax_mode, dmax=dmax,
-                                use_pallas=use_pallas)
+                                use_pallas=use_pallas, lat_hw=lat_hw)
 
     def render_all(gs, hw):
         return jnp.stack([render_one(gs[i], hw)
@@ -170,8 +183,9 @@ def _jitted_pipeline(enc, dec, scale: float, dmax_mode: str, dmax: float,
         b = padded.shape[0]
         gs = dec_apply(dec_params, feat,
                        jnp.full((b,), scale, jnp.float32))
+        lat = _lat_hw(dec, padded.shape[1], padded.shape[2])
         imgs = [render_gaussians(sr_hw, gs[i], jnp.float32(scale),
-                                 dmax_mode=dmax_mode, dmax=dmax)
+                                 dmax_mode=dmax_mode, dmax=dmax, lat_hw=lat)
                 for i in range(b)]
         return jnp.stack(imgs)
 
@@ -213,6 +227,7 @@ def sr_forward(enc, dec, enc_params, dec_params, lq, scale: float,
         scales = jnp.full((b,), scale, jnp.float32)
         gs = _jitted_apply(dec)(dec_params, feat, scales)
         img = _jitted_render(float(scale), dmax_mode, float(dmax),
-                             use_pallas)(gs, pad_sr)  # (B, 3, H, W)
+                             use_pallas, _lat_hw(dec, ph, pw))(
+            gs, pad_sr)  # (B, 3, H, W)
     img = img.transpose(0, 2, 3, 1)
     return img[:, :sr_size[0], :sr_size[1], :]

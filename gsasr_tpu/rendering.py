@@ -38,8 +38,8 @@ DEFAULT_STEP_SIZE = 1.2
 
 
 @functools.lru_cache(maxsize=64)
-def _static_lattice_perm(n: int, sr_h: int, sr_w: int, th: int = 32,
-                         tw: int = 128):
+def _static_lattice_perm(lat_h: int, lat_w: int, sr_h: int, sr_w: int,
+                         th: int = 32, tw: int = 128):
     """Static tile-coherent permutation of decoder outputs.
 
     Decoder Gaussian i anchors at lattice cell (i // lat_w, i % lat_w)
@@ -49,22 +49,16 @@ def _static_lattice_perm(n: int, sr_h: int, sr_w: int, th: int = 32,
     it gives the same chunk-locality as the runtime argsort (which costs an
     O(S log S) device sort per render) at zero runtime cost. Per-Gaussian
     cull boxes keep correctness exact even for centers that stray from
-    their anchors.
-
-    n is the total lattice size (lat_h * lat_w assumed square when only n
-    is known); callers pass exact lat dims via n = lat_h * lat_w and the
-    sr canvas size.
+    their anchors (measured drift at trained weights: p99 = 2.2 px,
+    scripts/analyze_walk_volume.py).
     """
-    import math as _math
-
     import numpy as _np
 
-    lat = int(_math.isqrt(n))
-    assert lat * lat == n, "expected a square lattice"
-    rows = _np.arange(n) // lat
-    cols = _np.arange(n) % lat
-    py = ((rows + 0.5) / lat * sr_h).astype(_np.int64)
-    px = ((cols + 0.5) / lat * sr_w).astype(_np.int64)
+    n = lat_h * lat_w
+    rows = _np.arange(n) // lat_w
+    cols = _np.arange(n) % lat_w
+    py = ((rows + 0.5) / lat_h * sr_h).astype(_np.int64)
+    px = ((cols + 0.5) / lat_w * sr_w).astype(_np.int64)
     key = (py // th) * (-(-sr_w // tw)) + (px // tw)
     return _np.argsort(key, kind="stable")
 
@@ -146,6 +140,7 @@ def render_gaussians(
     use_pallas: bool = True,
     sample_coords=None,
     static_perm: bool = True,
+    lat_hw=None,
 ):
     """The canonical render entry — TPU equivalent of
     `generate_2D_gaussian_splatting_step` (`gaussian_splatting.py:158-217`).
@@ -172,6 +167,9 @@ def render_gaussians(
         because saturated boxes defeat locality either way. Falls back to
         the runtime sort automatically for non-square lattices; pass False
         to force the device sort of actual coordinates.
+      lat_hw: optional static (lat_h, lat_w) decoder-lattice dims enabling
+        the static perm for RECTANGULAR lattices (inferred automatically
+        only for square N).
 
     Returns:
       (3, H, W) rendered image (the reference's post-permute layout,
@@ -181,10 +179,13 @@ def render_gaussians(
     import math
 
     n = gs_parameters.shape[0]
-    use_static_perm = (static_perm and use_pallas
-                       and math.isqrt(n) ** 2 == n)
+    if lat_hw is None and math.isqrt(n) ** 2 == n:
+        lat_hw = (math.isqrt(n), math.isqrt(n))
+    use_static_perm = (static_perm and use_pallas and lat_hw is not None
+                       and lat_hw[0] * lat_hw[1] == n)
     if use_static_perm:
-        perm = _static_lattice_perm(n, sr_size[0], sr_size[1])
+        perm = _static_lattice_perm(int(lat_hw[0]), int(lat_hw[1]),
+                                    sr_size[0], sr_size[1])
         gs_parameters = jnp.take(gs_parameters, jnp.asarray(perm), axis=0)
     sigmas, kcoords, colors, final_dmax, _ = prepare_kernel_inputs(
         sr_size, gs_parameters, scale, default_step_size=default_step_size,

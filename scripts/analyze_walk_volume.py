@@ -77,7 +77,7 @@ def main():
     print(f"decoder out {gs.shape} in {time.time()-t0:.1f}s")
 
     n = gs.shape[0]
-    perm = _static_lattice_perm(n, sr[0], sr[1], th=8, tw=128)
+    perm = _static_lattice_perm(720, 720, sr[0], sr[1], th=8, tw=128)
     gsp = jnp.asarray(gs[perm])
     sg, kc_, _, fdmax, _ = prepare_kernel_inputs(
         sr, gsp, jnp.float32(scale), dmax_mode="fix", dmax=0.1)

@@ -74,7 +74,7 @@ def bench_render(ckpt):
         _static_lattice_perm
     from gsasr_tpu.ops.rasterizer import gs_render
 
-    perm = jnp.asarray(_static_lattice_perm(518400, 720, 720))
+    perm = jnp.asarray(_static_lattice_perm(720, 720, 720, 720))
     prepped = []
     for (g,) in gss:
         gp = jnp.take(g, perm, axis=0)

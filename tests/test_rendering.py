@@ -80,3 +80,29 @@ def test_render_batch_shapes(rng):
     scales = jnp.asarray(np.float32([2.0, 3.0]))
     out = render_batch((16, 16), p, scales, dmax_mode="dynamic")
     assert out.shape == (2, 3, 16, 16)
+
+
+def test_static_perm_rectangular_lattice(rng):
+    """The static lattice-anchor permutation generalizes to rectangular
+    lattices via lat_hw (r5): same image as the runtime-sort path on a
+    non-square decoder lattice / canvas."""
+    import jax.numpy as jnp
+
+    from gsasr_tpu.rendering import render_gaussians
+
+    lat_h, lat_w = 24, 36
+    g = jnp.asarray(
+        0.3 * rng.standard_normal((lat_h * lat_w, 9)).astype(np.float32))
+    sr = (48, 72)
+    a = render_gaussians(sr, g, jnp.float32(2.0), dmax_mode="fix", dmax=0.5,
+                         static_perm=False)
+    b = render_gaussians(sr, g, jnp.float32(2.0), dmax_mode="fix", dmax=0.5,
+                         static_perm=True, lat_hw=(lat_h, lat_w))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5,
+                               atol=1e-6)
+    # n is non-square so without lat_hw the runtime sort must engage and
+    # still agree
+    c = render_gaussians(sr, g, jnp.float32(2.0), dmax_mode="fix", dmax=0.5,
+                         static_perm=True)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(a), rtol=1e-5,
+                               atol=1e-6)
