@@ -32,9 +32,22 @@ fi
 M1=$(( ITERS / 2 )); M2=$(( ITERS * 8 / 10 ))
 M3=$(( ITERS * 9 / 10 )); M4=$(( ITERS * 95 / 100 ))
 echo "[transition] launching enhanced run: total_iter=$ITERS"
-nohup python -m gsasr_tpu.cli.train -opt configs/train_edsr_enhanced_r5.yml \
-  --auto_resume --force_yml train:total_iter=$ITERS \
-  "train:scheduler:milestones=[$M1, $M2, $M3, $M4]" \
-  > logs/train_r5_enhanced.log 2>&1 &
+# Supervisor loop: the axon host-side transfer buffers leak ~6 MB/iter
+# (BENCH_NOTES r5), so long runs can die by OOM; --auto_resume restarts
+# from the last checkpoint with a fresh process.
+(
+  while true; do
+    python -m gsasr_tpu.cli.train -opt configs/train_edsr_enhanced_r5.yml \
+      --auto_resume --force_yml train:total_iter=$ITERS \
+      "train:scheduler:milestones=[$M1, $M2, $M3, $M4]" \
+      >> logs/train_r5_enhanced.log 2>&1
+    rc=$?
+    [ $rc -eq 0 ] && break
+    echo "[supervisor] trainer rc=$rc at $(date) — auto_resume restart" \
+      >> logs/train_r5_enhanced.log
+    [ "$(date +%s)" -ge "$DEADLINE" ] && break
+    sleep 10
+  done
+) &
 echo "pid $!" > logs/train_r5_enhanced.pid
-echo "[transition] enhanced pid $(cat logs/train_r5_enhanced.pid)"
+echo "[transition] enhanced supervisor pid $(cat logs/train_r5_enhanced.pid)"
