@@ -261,7 +261,8 @@ def main():
     # The family the reference recommends (`README.md:206-209`); measured
     # on the same protocol so BENCH jsons carry an enhanced row
     # (VERDICT r4 #3). GSASR_BENCH_ENHANCED=0 skips it.
-    enh_ms = enh_iqr = enh_weights = None
+    enh_ms = enh_iqr = enh_weights = enh_err = None
+    enh_path = "fused"
     if os.environ.get("GSASR_BENCH_ENHANCED", "1") == "1":
         try:
             enc_e, dec_e = make_models("edsr", "enhanced")
@@ -288,19 +289,27 @@ def main():
                                 jnp.ones((1,)))["params"]
                 enh_weights = "init"
             efn = _jitted_apply(enc_e)
-            dfn = _jitted_apply(dec_e)
 
-            def forward_e(ep, dp, lq):
-                feat = efn(ep, lq)
-                gs = dfn(dp, feat, scales)
-                return render_one(gs[0])
+            def measure(dfn):
+                def forward_e(ep, dp, lq):
+                    feat = efn(ep, lq)
+                    gs = dfn(dp, feat, scales)
+                    return render_one(gs[0])
+                ts_e, _ = _timed(lambda: forward_e(ep, dp, lq), reps=7,
+                                 discard=2, sync=sync)
+                return _median_iqr(ts_e)
 
-            ts_e, _ = _timed(lambda: forward_e(ep, dp, lq), reps=7,
-                             discard=2, sync=sync)
-            dte, enh_iqr = _median_iqr(ts_e)
+            try:
+                dte, enh_iqr = measure(_jitted_apply(dec_e))
+            except Exception as e:  # fused rope kernel failure: fall back
+                enh_err = f"fused: {type(e).__name__}: {e}"[:300]
+                enh_path = "module"
+                dfn_m = jax.jit(lambda p, *xs: dec_e.apply(
+                    {"params": p}, *xs))
+                dte, enh_iqr = measure(dfn_m)
             enh_ms = round(dte * 1e3, 2)
-        except Exception:
-            pass
+        except Exception as e:
+            enh_err = f"{type(e).__name__}: {e}"[:300]
 
     print(json.dumps({
         "metric": "edsr_gsasr_x4_720sq_e2e_inference",
@@ -329,6 +338,8 @@ def main():
         "enhanced_e2e_ms": enh_ms,
         "enhanced_iqr_ms": enh_iqr,
         "enhanced_weights": enh_weights,
+        "enhanced_path": enh_path,
+        "enhanced_error": enh_err,
         "baseline": "estimate",
     }))
 

@@ -96,21 +96,22 @@ def _mm_ll(a, b):
                                preferred_element_type=jnp.float32)
 
 
+def _rope_shuffle(x):
+    """Pairwise (even, odd) -> (-odd, even) on the lane axis, expressed as
+    lane rolls + an even-lane select (reshape/stack on the minor dims does
+    not lower through Mosaic)."""
+    t, c = x.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (t, c), 1)
+    even = (lane % 2) == 0
+    return jnp.where(even, -jnp.roll(x, -1, axis=1), jnp.roll(x, 1, axis=1))
+
+
 def _rope_rotate(x, cos, sin):
     """Pair rotation on packed (t, c) f32 operands: even/odd lanes form the
     complex pairs; cos/sin MUST be pair-duplicated (t, c) tables (constant
     within each pair) — the backward treats the map as a true rotation and
     transposes it by negating sin, which only holds under that layout."""
-    t, c = x.shape
-    xr = x.reshape(t, c // 2, 2)
-    xs = jnp.stack([-xr[..., 1], xr[..., 0]], axis=-1).reshape(t, c)
-    return x * cos + xs * sin
-
-
-def _rope_shuffle(x):
-    t, c = x.shape
-    xr = x.reshape(t, c // 2, 2)
-    return jnp.stack([-xr[..., 1], xr[..., 0]], axis=-1).reshape(t, c)
+    return x * cos + _rope_shuffle(x) * sin
 
 
 # ---------------------------------------------------------------------------
