@@ -96,7 +96,10 @@ def _find_ckpt():
     highest finalized (digit-named) step wins."""
     import glob
     cands = [p for p in glob.glob("experiments/*/checkpoints/*")
-             if os.path.isdir(p) and os.path.basename(p).isdigit()]
+             if os.path.isdir(p) and os.path.basename(p).isdigit()
+             # Enhanced/AMP-family runs carry a different decoder: their
+             # checkpoints must not shadow the paper-family bench weights
+             and not any(k in p.lower() for k in ("rope", "enh", "amp"))]
     pref = [p for p in cands if "edsr" in p.lower()]
     pool = pref or cands
     # the most recently trained experiment wins (the round's own run),
