@@ -103,3 +103,18 @@ for f in datasets/train_nat3/*; do
     cp "$f" "datasets/train_sub4/dup2_$b"
 done
 echo "r5 corpus: $(ls datasets/train_sub4 | wc -l) sub-images (train_sub4)"
+
+# multi-scale val LR sets for the endgame battery (x2/x3/x6.5)
+python - <<'EOF2'
+import cv2, os
+import numpy as np
+from gsasr_tpu.data.matlab_resize import imresize_new
+for s, name in [(2, 'lrx2'), (3, 'lrx3'), (6.5, 'lrx65')]:
+    os.makedirs(f'datasets/val/{name}', exist_ok=True)
+    for f in sorted(os.listdir('datasets/val/gt')):
+        img = cv2.imread(f'datasets/val/gt/{f}').astype(np.float32)/255.0
+        lr = imresize_new(img, 1/s, 1/s)
+        cv2.imwrite(f'datasets/val/{name}/{f}',
+                    (np.clip(lr,0,1)*255).round().astype(np.uint8))
+print('val multi-scale LR sets written')
+EOF2
